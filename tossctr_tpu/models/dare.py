@@ -1,0 +1,105 @@
+"""DARE sequence encoder (reference: src/models/dare.py:72-162).
+
+Two embedding tables over the behaviour-token vocabulary — ``att`` for
+scoring, ``rep`` for representation — feed a recency-weighted top-k
+selection (ops/topk_select.py), an optional small transformer over the
+K selected tokens, score-gated aggregation, and an auxiliary
+self-ensemble head.
+
+TPU design notes:
+  * The tables are the dominant memory object (2 x vocab x D); they are
+    declared with a row-sharding-friendly layout — parallel/sharding.py
+    assigns them PartitionSpec('model', None).
+  * top-k selection runs with sparse backward (gradients touch only the
+    K selected rows per example; see ops/topk_select.py).
+  * K is static => the transformer compiles to fixed (B,K,D) shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.topk_select import dare_topk_select
+from .layers import DAREEncoderLayer
+
+
+class DARE(nn.Module):
+    seq_vocab: int
+    emb_dim: int
+    dropout: float
+    top_k: int = 80
+    recency_tau: float = 256.0
+    pad_id: int = 0
+    transformer_block: bool = True
+    n_layers: int = 2
+    n_heads: int = 4
+    mha_dropout: float = 0.1
+    ffn_hidden: int = 256
+    ffn_dropout: float = 0.1
+    norm: str = "rms"
+    gating: str = "softmax"  # softmax | relu
+    add_positional_bias: bool = True
+    emb_init_std: float = 1.0  # torch nn.Embedding default is N(0,1)
+    sparse_backward: bool = True
+    dtype: Any = jnp.float32
+    score_fn: Optional[Any] = None  # pallas scoring kernel hook
+
+    @nn.compact
+    def __call__(self, seq_ids, query_vec, deterministic: bool = True):
+        """seq_ids (B,L) int32, query_vec (B,D) -> (u_seq (B,D), aux_logit (B,))"""
+        emb_att = self.param(
+            "emb_att",
+            nn.initializers.normal(self.emb_init_std),
+            (self.seq_vocab, self.emb_dim),
+            jnp.float32,
+        )
+        emb_rep = self.param(
+            "emb_rep",
+            nn.initializers.normal(self.emb_init_std),
+            (self.seq_vocab, self.emb_dim),
+            jnp.float32,
+        )
+        sel_rep, vals, _ = dare_topk_select(
+            emb_att,
+            emb_rep,
+            seq_ids,
+            query_vec.astype(self.dtype),
+            top_k=self.top_k,
+            tau=self.recency_tau,
+            pad_id=self.pad_id,
+            sparse_backward=self.sparse_backward,
+            score_fn=self.score_fn,
+        )
+
+        x = sel_rep
+        if self.transformer_block:
+            for i in range(self.n_layers):
+                x = DAREEncoderLayer(
+                    d_model=self.emb_dim,
+                    n_heads=self.n_heads,
+                    mha_dropout=self.mha_dropout,
+                    ffn_hidden=self.ffn_hidden,
+                    ffn_dropout=self.ffn_dropout,
+                    norm=self.norm,
+                    add_pos_bias=self.add_positional_bias,
+                    max_len=self.top_k,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(x, deterministic=deterministic)
+
+        # gating over the selection-score logits (reference dare.py:150-155)
+        if self.gating == "relu":
+            w = nn.relu(vals)
+            w = w / (w.sum(axis=1, keepdims=True) + 1e-12)
+        else:
+            w = nn.softmax(vals.astype(jnp.float32), axis=1).astype(self.dtype)
+        u_seq = (x * w[..., None]).sum(axis=1)  # (B,D)
+        u_seq = nn.Dropout(self.dropout)(u_seq, deterministic=deterministic)
+
+        aux_logit = nn.Dense(
+            1, dtype=self.dtype, param_dtype=jnp.float32, name="aux_head"
+        )(u_seq)[:, 0]
+        return u_seq, aux_logit

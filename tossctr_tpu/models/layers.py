@@ -1,0 +1,165 @@
+"""Shared flax building blocks: norms, positional bias, attention.
+
+Semantics mirror the reference's torch modules (src/models/dare.py:6-70)
+with flax idiom: fp32 params, configurable compute dtype (bf16 under
+amp), explicit dropout RNGs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    """w * x * rsqrt(mean(x^2) + eps)  (reference dare.py:6-13)."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        w = self.param("w", nn.initializers.ones, (d,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (w * y).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+def make_norm(name: str, dtype: Dtype = jnp.float32):
+    """'rms' -> RMSNorm else LayerNorm (reference dare.py:15-18)."""
+    return RMSNorm(dtype=dtype) if name.lower() == "rms" else LayerNorm(dtype=dtype)
+
+
+class PositionalBias(nn.Module):
+    """Relative positional bias over the K selected tokens: a
+    (2*max_len+1, n_heads) embedding of clipped distance j-i
+    (reference dare.py:20-37).  The reference then AVERAGES the bias
+    over heads into a single (K,K) additive mask (dare.py:56-60) —
+    a faithful quirk preserved by the caller."""
+
+    max_len: int
+    n_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int):
+        rel = self.param(
+            "rel",
+            nn.initializers.normal(1.0),
+            (2 * self.max_len + 1, self.n_heads),
+            jnp.float32,
+        )
+        i = jnp.arange(qlen)[:, None]
+        j = jnp.arange(klen)[None, :]
+        d = jnp.clip(j - i, -self.max_len, self.max_len) + self.max_len
+        bias = jnp.take(rel, d, axis=0)  # (qlen, klen, H)
+        return jnp.transpose(bias, (2, 0, 1)).astype(self.dtype)  # (H, qlen, klen)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHA with packed qkv projection and an optional additive
+    attention bias shared across heads — matching torch
+    nn.MultiheadAttention's math (softmax((qk^T)/sqrt(dh) + bias) v)
+    including attention-probability dropout."""
+
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        B, K, D = x.shape
+        H = self.n_heads
+        dh = D // H
+        assert D % H == 0, "d_model must divide n_heads"
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, self.dtype)
+        )
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, K, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
+
+
+class DAREEncoderLayer(nn.Module):
+    """Post-norm transformer block over the K selected tokens
+    (reference dare.py:39-70): MHA + residual + norm, FFN(GELU) +
+    residual + norm, with the head-averaged positional bias as a single
+    (K,K) additive mask."""
+
+    d_model: int
+    n_heads: int
+    mha_dropout: float
+    ffn_hidden: int
+    ffn_dropout: float
+    norm: str = "rms"
+    add_pos_bias: bool = True
+    max_len: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, K, D = x.shape
+        bias = None
+        if self.add_pos_bias:
+            pb = PositionalBias(self.max_len, self.n_heads, dtype=self.dtype, name="pbias")(K, K)
+            bias = pb.mean(axis=0)[None, None, :, :]  # head-avg quirk (dare.py:60)
+        h = MultiHeadSelfAttention(
+            self.d_model, self.n_heads, self.mha_dropout, dtype=self.dtype, name="mha"
+        )(x, attn_bias=bias, deterministic=deterministic)
+        x = x + h
+        x = make_norm(self.norm, self.dtype)(x)
+        h2 = nn.Dense(self.ffn_hidden, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h2 = nn.gelu(h2)
+        h2 = nn.Dropout(self.ffn_dropout)(h2, deterministic=deterministic)
+        h2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32)(h2)
+        x = x + h2
+        x = make_norm(self.norm, self.dtype)(x)
+        return x
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excite over channels with BATCH-MEAN statistics —
+    a faithful reference quirk (qnn_alpha.py:17-26): the gate is computed
+    from x.mean(axis=0), so inference output depends on batch
+    composition.  ``batch_stats=False`` gates per-row instead."""
+
+    channels: int
+    reduction: int = 8
+    batch_stats: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, C)
+        c = self.channels
+        pooled = x.mean(axis=0, keepdims=True) if self.batch_stats else x
+        h = nn.Dense(max(1, c // self.reduction), dtype=self.dtype, param_dtype=jnp.float32)(pooled)
+        h = nn.relu(h)
+        w = nn.sigmoid(nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(h))
+        return x * w
