@@ -1,0 +1,137 @@
+"""Checkpointing.
+
+Fold checkpoints preserve the reference's contract (SURVEY.md §5): each
+is self-describing (carries the config), and bundles model params, EMA
+shadows, the fitted calibrator, best score/epoch and global step
+(reference train.py:265-273,347).  Layout (a directory per fold instead
+of a torch pickle):
+
+    runs/<exp>/ckpt_folds_<f>/
+      meta.json        # score, best_score, epoch, global_step, cfg
+      params.msgpack   # flax-serialized model params
+      ema.msgpack      # EMA shadow pytree (optional)
+      calibrator.pkl   # pickled eval.calibration.Calibrator (optional)
+
+Fold-skip resume (train.py:343-345) keys on the directory's existence.
+
+``save_train_state``/``load_train_state`` additionally provide
+step-granularity resume (params + opt_state + EMA + step + sampler
+epoch) that the reference lacks — required for long multi-host runs
+(SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    state = serialization.to_state_dict(_to_host(tree))
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+
+
+def load_pytree(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    if target is not None:
+        return serialization.from_state_dict(target, state)
+    return state
+
+
+def fold_ckpt_dir(exp_dir: str, fold: int) -> str:
+    return os.path.join(exp_dir, f"ckpt_folds_{fold}")
+
+
+def fold_ckpt_exists(exp_dir: str, fold: int) -> bool:
+    return os.path.exists(os.path.join(fold_ckpt_dir(exp_dir, fold), "meta.json"))
+
+
+def save_fold_checkpoint(
+    exp_dir: str,
+    fold: int,
+    *,
+    params: Any,
+    cfg_dict: Dict,
+    best_score: float,
+    epoch: int,
+    global_step: int,
+    ema_shadow: Any = None,
+    calibrator: Any = None,
+) -> str:
+    d = fold_ckpt_dir(exp_dir, fold)
+    os.makedirs(d, exist_ok=True)
+    save_pytree(os.path.join(d, "params.msgpack"), params)
+    if ema_shadow is not None:
+        save_pytree(os.path.join(d, "ema.msgpack"), ema_shadow)
+    if calibrator is not None:
+        with open(os.path.join(d, "calibrator.pkl"), "wb") as f:
+            pickle.dump(calibrator, f)
+    meta = {
+        "fold": fold,
+        "score": float(best_score),
+        "best_score": float(best_score),
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "cfg": cfg_dict,
+    }
+    # meta.json written last: its presence marks a complete checkpoint
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return d
+
+
+def load_fold_checkpoint(ckpt_dir: str, params_target: Any = None) -> Dict:
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    out = dict(meta)
+    out["params"] = load_pytree(os.path.join(ckpt_dir, "params.msgpack"), params_target)
+    ema_path = os.path.join(ckpt_dir, "ema.msgpack")
+    out["ema"] = load_pytree(ema_path, None) if os.path.exists(ema_path) else None
+    cal_path = os.path.join(ckpt_dir, "calibrator.pkl")
+    if os.path.exists(cal_path):
+        with open(cal_path, "rb") as f:
+            out["calibrator"] = pickle.load(f)
+    else:
+        out["calibrator"] = None
+    return out
+
+
+def list_fold_checkpoints(exp_dir: str):
+    """Sorted fold-checkpoint dirs (reference infer.py:28 glob)."""
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(os.path.join(exp_dir, "ckpt_folds_*")))
+    return [d for d in dirs if os.path.exists(os.path.join(d, "meta.json"))]
+
+
+# ---- step-granularity train-state checkpoints (TPU addition) ----
+
+
+def save_train_state(path: str, *, step_state: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(
+            serialization.msgpack_serialize(
+                serialization.to_state_dict(_to_host(step_state))
+            )
+        )
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(target, state)

@@ -1,0 +1,365 @@
+"""Training loop: jitted train step, K-fold driver, eval + calibration.
+
+Reference call stack parity (src/train.py:92-359): StratifiedGroupKFold
+with ``max(5, n_splits)`` / shuffle / seed, fold-skip resume, per-epoch
+validation with EMA swap-in, optional per-epoch temperature/isotonic
+calibration, best-epoch selection on the (calibrated) Score, early
+stopping, and per-fold checkpoints.
+
+TPU-first redesign of the hot loop (SURVEY.md §3 hot-loop #2): the
+entire step — forward, loss, backward, AdamW update, EMA lerp — is one
+jitted XLA program with donated state; the LR schedule is a pure
+function of the global step consumed by optax instead of per-step
+param-group writes; batches stream in through a background device
+prefetcher.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.dataset import ShardCache
+from ..data.loader import BatchIterator, DevicePrefetcher
+from ..data.sampler import BalancedBatchSampler
+from ..eval.calibration import Calibrator
+from ..eval.metrics import final_score
+from ..models import CTRModel, build_model_spec
+from ..utils.log import Logger
+from ..utils.seed import set_seed
+from .checkpoint import fold_ckpt_exists, save_fold_checkpoint
+from .ema import EmaState, ema_params, init_ema, make_ema_mask, update_ema
+from .loss import bce_wll_style, logit_l2, pairwise_auc_loss
+from .sched import make_lr_schedule
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Optional[EmaState]
+    step: jnp.ndarray  # int32 global step (1-based after first update)
+
+
+_EMB_MARKERS = ("emb_att", "emb_rep", "table_")
+
+
+def _is_embedding_path(path) -> bool:
+    name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+    return any(m in name for m in _EMB_MARKERS)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    t = cfg.train
+    schedule = make_lr_schedule(
+        t.lr,
+        warmup_steps=t.warmup_epochs * steps_per_epoch,
+        total_steps=t.epochs * steps_per_epoch,
+        cosine=t.cosine,
+    )
+    # torch AdamW defaults (reference train.py:138)
+    dense = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=t.weight_decay)
+    if t.embedding_optimizer == "adamw":
+        tx = dense
+    else:
+        # Giant tables get a factored-state optimizer: O(rows+cols) instead
+        # of O(rows*cols) second moments (TPU memory; see TrainConfig).
+        if t.embedding_optimizer == "adafactor":
+            emb = optax.adafactor(schedule)
+        elif t.embedding_optimizer == "sgd":
+            emb = optax.sgd(schedule)
+        else:
+            raise ValueError(f"unknown embedding_optimizer {t.embedding_optimizer}")
+        label_fn = lambda params: jax.tree_util.tree_map_with_path(  # noqa: E731
+            lambda path, _: "emb" if _is_embedding_path(path) else "dense", params
+        )
+        tx = optax.multi_transform({"dense": dense, "emb": emb}, label_fn)
+    if t.grad_clip_norm and t.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), tx)
+    return tx, schedule
+
+
+def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
+    spec = build_model_spec(cfg, dims)
+    return CTRModel(
+        spec=spec,
+        dtype=cfg.compute_dtype,
+        se_batch_stats=bool((cfg.model.qnn_alpha.extra or {}).get("se_batch_stats", True)),
+    )
+
+
+def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None):
+    aux_w = float(cfg.model.qnn_alpha.aux_head_weight)
+    ema_cfg = cfg.ema
+    loss_cfg = cfg.loss or {}
+    # The reference *defines* rank/logit-l2 auxiliaries but their invocation
+    # is commented out (train.py:170-183); apply_extra_losses=True opts in.
+    apply_extra = bool(loss_cfg.get("apply_extra_losses", False))
+    lam_rank = float(loss_cfg.get("lambda_rank", 0.0)) if apply_extra else 0.0
+    lam_l2 = float(loss_cfg.get("lambda_logit_l2", 0.0)) if apply_extra else 0.0
+    n_neg = int(loss_cfg.get("num_neg_per_pos", 8))
+    hard_frac = float(loss_cfg.get("hard_neg_frac", 0.0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        y = batch["y"]
+        rng = jax.random.fold_in(base_key, state.step)
+        drop_rng, rank_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            z, _, aux = model.apply(
+                params, batch, deterministic=False, rngs={"dropout": drop_rng}
+            )
+            loss = bce_wll_style(z, y)
+            if aux_w > 0:
+                loss = loss + aux_w * bce_wll_style(aux, y)
+            if lam_rank > 0:
+                loss = loss + lam_rank * pairwise_auc_loss(
+                    z, y, rank_rng, num_neg_per_pos=n_neg, hard_frac=hard_frac
+                )
+            if lam_l2 > 0:
+                loss = loss + lam_l2 * logit_l2(z)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        ema = state.ema
+        if ema is not None:
+            ema = update_ema(
+                ema,
+                params,
+                step,
+                base_decay=float(ema_cfg.decay),
+                warmup_steps=int(ema_cfg.warmup_steps),
+                warmup_type=str(ema_cfg.warmup_type),
+                update_after_step=int(ema_cfg.update_after_step),
+                update_interval=int(ema_cfg.update_interval),
+                mask=ema_mask,
+            )
+        return TrainState(params, opt_state, ema, step), loss
+
+    return train_step
+
+
+def make_eval_step(model: CTRModel):
+    @jax.jit
+    def eval_step(params, batch):
+        z, p, _ = model.apply(params, batch, deterministic=True)
+        return z, p
+
+    return eval_step
+
+
+def run_validation(eval_step, params, loader) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (y_true, p_raw, z_raw), padded rows dropped via the valid mask."""
+    zs, ps, ys = [], [], []
+    for batch in loader:
+        valid = np.asarray(batch.pop("valid")).astype(bool)
+        y = np.asarray(batch.pop("y"))[valid] if "y" in batch else None
+        z, p = eval_step(params, batch)
+        zs.append(np.asarray(z)[valid])
+        ps.append(np.asarray(p)[valid])
+        if y is not None:
+            ys.append(y)
+    return (
+        np.concatenate(ys) if ys else np.zeros(0),
+        np.concatenate(ps),
+        np.concatenate(zs),
+    )
+
+
+def train_one_fold(
+    cfg: Config,
+    fold: int,
+    idx_tr: np.ndarray,
+    idx_va: np.ndarray,
+    manifest_path: str,
+    logger: Logger,
+) -> Dict[str, Any]:
+    """-> best-state dict (params/ema/calibrator/score/epoch/global_step)
+    (reference train.py:92-317)."""
+    t = cfg.train
+    cache = ShardCache(manifest_path)
+    y_all = cache.labels()
+
+    if cfg.sampler.balanced:
+        sampler = BalancedBatchSampler(
+            y_all[idx_tr],
+            batch_size=t.batch_size,
+            pos_fraction=float(cfg.sampler.pos_fraction),
+            replacement=True,
+            seed=int(cfg.seed),
+            drop_last=True,
+            # reference quirk: set_epoch exists but train.py never calls it;
+            # we do reseed per epoch unless configured otherwise.
+            reseed_each_epoch=bool((cfg.sampler.extra or {}).get("reseed_each_epoch", True)),
+        )
+        tr_loader = BatchIterator(
+            cache, idx_tr, batch_size=t.batch_size, train=True, sampler=sampler
+        )
+    else:
+        tr_loader = BatchIterator(
+            cache, idx_tr, batch_size=t.batch_size, train=True, shuffle=True, seed=cfg.seed
+        )
+    va_loader = BatchIterator(
+        cache, idx_va, batch_size=t.batch_size, train=True, shuffle=False, drop_last=False
+    )
+
+    model = build_model(cfg, cache.dims)
+    steps_per_epoch = len(tr_loader)
+    tx, schedule = make_optimizer(cfg, steps_per_epoch)
+
+    init_key = jax.random.PRNGKey(cfg.seed + 101 * fold)
+    sample = next(iter(BatchIterator(cache, idx_tr[: t.batch_size], batch_size=t.batch_size, train=True)))
+    params = model.init(init_key, sample, deterministic=True)
+    opt_state = tx.init(params)
+    ema = init_ema(params) if cfg.ema.enabled else None
+    ema_mask = make_ema_mask(params, cfg.ema.param_filter) if cfg.ema.enabled else None
+    state = TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))
+
+    step_key = jax.random.PRNGKey(cfg.seed + 7919 * fold)
+    train_step = make_train_step(model, tx, cfg, step_key, ema_mask=ema_mask)
+    eval_step = make_eval_step(model)
+
+    use_ema_eval = cfg.ema.enabled and cfg.ema.eval_with_ema
+    best = {"score": -1e9, "state": None}
+    wait = 0
+
+    for epoch in range(1, t.epochs + 1):
+        tr_loader.set_epoch(epoch)
+        losses = []
+        t0 = time.time()
+        for batch in DevicePrefetcher(iter(tr_loader)):
+            batch.pop("valid", None)
+            state, loss = train_step(state, batch)
+            losses.append(loss)
+        losses = [float(v) for v in jax.device_get(losses)]
+        dt = time.time() - t0
+        global_step = int(state.step)
+        examples = steps_per_epoch * t.batch_size
+        logger.throughput(f"fold{fold}", epoch, examples, dt)
+
+        eval_p = (
+            ema_params(state.ema, state.params, ema_mask) if use_ema_eval else state.params
+        )
+        y_true, p_raw, z_raw = run_validation(eval_step, eval_p, va_loader)
+        ap, wll, score = final_score(y_true, p_raw, formula=cfg.eval.score_formula)
+
+        cal = None
+        ap_cal = wll_cal = score_cal = None
+        if cfg.calibration.enabled:
+            c = cfg.calibration
+            cal = Calibrator(
+                method=c.method, lr=c.lr, iters=c.iters,
+                clamp_T=c.clamp_T, l2_reg=c.l2_reg, min_iso_nodes=c.min_iso_nodes,
+            ).fit(z_raw, y_true)
+            p_cal = cal.predict_proba(z_raw)
+            ap_cal, wll_cal, score_cal = final_score(
+                y_true, p_cal, formula=cfg.eval.score_formula
+            )
+
+        lr_now = float(schedule(global_step - 1)) if global_step > 0 else t.lr
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        row = dict(
+            fold=fold, epoch=epoch, split="val", loss=round(mean_loss, 6),
+            AP=round(ap, 6), WLL=round(wll, 6), Score=round(score, 6),
+            lr=f"{lr_now:.3e}", bs=t.batch_size, K=cfg.sequence.top_k,
+            tau=cfg.sequence.recency_tau,
+        )
+        logger.row(**row, eps=f"{examples / max(dt, 1e-9):.0f}/s")
+        logger.csv(**row)
+        logger.scalars(
+            f"fold{fold}", epoch,
+            train_loss=mean_loss, val_AP=ap, val_WLL=wll, val_Score=score,
+        )
+        if cfg.calibration.enabled:
+            logger.row(
+                fold=fold, epoch=epoch, split="val_cal", loss="--",
+                AP=round(ap_cal, 6), WLL=round(wll_cal, 6), Score=round(score_cal, 6),
+            )
+            logger.csv(
+                fold=fold, epoch=epoch, split="val_cal", loss="--",
+                AP=ap_cal, WLL=wll_cal, Score=score_cal,
+                lr=f"{lr_now:.3e}", bs=t.batch_size, K=cfg.sequence.top_k,
+                tau=cfg.sequence.recency_tau,
+            )
+            logger.scalars(f"fold{fold}", epoch, val_WLL_cal=wll_cal, val_Score_cal=score_cal)
+
+        cur = score_cal if (cfg.calibration.enabled and score_cal is not None) else score
+        if cur > best["score"]:
+            best = {
+                "score": float(cur),
+                "state": {
+                    "params": jax.device_get(state.params),
+                    # persist the *merged* EMA weights (mask-aware, in the
+                    # params' dtypes) — exactly the weights eval used
+                    "ema": jax.device_get(ema_params(state.ema, state.params, ema_mask))
+                    if state.ema is not None
+                    else None,
+                    "calibrator": cal,
+                    "best_score": float(cur),
+                    "epoch": int(epoch),
+                    "global_step": global_step,
+                },
+            }
+            wait = 0
+        else:
+            wait += 1
+            if wait >= t.early_stop_patience:
+                break
+
+    return best
+
+
+def train_main(cfg: Config) -> str:
+    """Full K-fold training run; returns the experiment directory
+    (reference train.py:319-359)."""
+    from sklearn.model_selection import StratifiedGroupKFold
+
+    os.makedirs(cfg.logging.log_dir, exist_ok=True)
+    set_seed(cfg.seed, deterministic=cfg.deterministic)
+    exp_dir = cfg.exp_dir()
+    logger = Logger(exp_dir, tb=cfg.logging.tb, csv_log=cfg.logging.csv_log)
+
+    manifest_path = cfg.data.manifest_train or os.path.join(
+        cfg.data.cache_dir, "train", "manifest.json"
+    )
+    from ..data.dataset import load_labels_groups_for_split
+
+    y, groups = load_labels_groups_for_split(manifest_path)
+    n_splits = int(cfg.cv.n_splits)
+    effective = max(5, n_splits)
+    sgkf = StratifiedGroupKFold(n_splits=effective, shuffle=True, random_state=cfg.seed)
+
+    for fold, (tr, va) in enumerate(sgkf.split(np.zeros_like(y), y, groups)):
+        if n_splits == 1 and fold > 0:
+            break
+        if fold_ckpt_exists(exp_dir, fold):
+            logger.row(fold=fold, split="skip", msg="checkpoint exists (resume)")
+            continue
+        best = train_one_fold(cfg, fold, tr, va, manifest_path, logger)
+        st = best["state"]
+        if st is None:
+            raise RuntimeError(f"fold {fold} produced no best state")
+        save_fold_checkpoint(
+            exp_dir,
+            fold,
+            params=st["params"],
+            cfg_dict=cfg.to_dict(),
+            best_score=st["best_score"],
+            epoch=st["epoch"],
+            global_step=st["global_step"],
+            ema_shadow=st["ema"],
+            calibrator=st["calibrator"],
+        )
+        logger.row(fold=fold, split="done", Score=round(best["score"], 6))
+    return exp_dir
