@@ -1,0 +1,116 @@
+"""Sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tossctr_tpu.parallel.embedding import sharded_embedding_lookup
+from tossctr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, build_mesh, mesh_axis_sizes
+from tossctr_tpu.parallel.sharding import param_shardings, spec_for_param
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_axis_resolution():
+    assert mesh_axis_sizes(8, -1, 1) == (8, 1)
+    assert mesh_axis_sizes(8, -1, 2) == (4, 2)
+    assert mesh_axis_sizes(8, 4, 2) == (4, 2)
+    with pytest.raises(AssertionError):
+        mesh_axis_sizes(8, 3, 2)
+
+
+def test_build_mesh_shape():
+    mesh = build_mesh(data=4, model=2)
+    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+
+
+@pytest.mark.parametrize("model_axis", [1, 2, 4])
+def test_sharded_lookup_matches_dense(model_axis):
+    mesh = build_mesh(data=8 // model_axis, model=model_axis)
+    rng = np.random.default_rng(0)
+    V, D, B, L = 64, 16, 16, 10
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    ids = rng.integers(0, V, (B, L)).astype(np.int32)
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(DATA_AXIS, None)))
+    out = sharded_embedding_lookup(tbl, ids_d, mesh)
+    assert np.allclose(np.asarray(out), table[ids], atol=1e-6)
+
+
+def test_sharded_lookup_gradient_scatter_add():
+    """Backward must scatter-add into the owning shard, including
+    duplicate ids, matching the dense gather gradient."""
+    mesh = build_mesh(data=4, model=2)
+    rng = np.random.default_rng(1)
+    V, D, B, L = 32, 8, 8, 6
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    ids = rng.integers(0, V, (B, L)).astype(np.int32)
+    ids[:, 0] = ids[:, 1]  # force duplicates
+    g = rng.normal(0, 1, (B, L, D)).astype(np.float32)
+
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(DATA_AXIS, None)))
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_embedding_lookup(t, ids_d, mesh) * g)
+
+    def loss_dense(t):
+        return jnp.sum(jnp.take(t, jnp.asarray(ids), axis=0) * g)
+
+    gs = jax.grad(loss_sharded)(tbl)
+    gd = jax.grad(loss_dense)(jnp.asarray(table))
+    assert np.allclose(np.asarray(gs), np.asarray(gd), atol=1e-5)
+
+
+def test_sharded_lookup_under_jit():
+    mesh = build_mesh(data=4, model=2)
+    V, D = 40, 8
+    table = np.arange(V * D, dtype=np.float32).reshape(V, D)
+    ids = np.array([[0, 39, 20]], dtype=np.int32).repeat(8, axis=0)
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(DATA_AXIS, None)))
+    f = jax.jit(lambda t, i: sharded_embedding_lookup(t, i, mesh))
+    out = f(tbl, ids_d)
+    assert np.allclose(np.asarray(out), table[ids])
+
+
+def test_param_sharding_registry():
+    mesh = build_mesh(data=4, model=2)
+    params = {
+        "params": {
+            "dare": {"emb_att": jnp.zeros((64, 8)), "aux_head": {"kernel": jnp.zeros((8, 1))}},
+            "cat_embed": {"table_8": jnp.zeros((100, 8)), "proj_8": jnp.zeros((3, 8, 16))},
+        }
+    }
+    sh = param_shardings(mesh, params)
+    assert sh["params"]["dare"]["emb_att"].spec == P(MODEL_AXIS, None)
+    assert sh["params"]["cat_embed"]["table_8"].spec == P(MODEL_AXIS, None)
+    assert sh["params"]["dare"]["aux_head"]["kernel"].spec == P()
+    assert sh["params"]["cat_embed"]["proj_8"].spec == P()  # 3D: not a table
+
+
+def test_data_parallel_loss_matches_single_device():
+    """DP over the data axis: same loss and grads as single-device."""
+    mesh = build_mesh(data=8, model=1)
+    rng = np.random.default_rng(2)
+    W = rng.normal(0, 1, (8, 4)).astype(np.float32)
+    X = rng.normal(0, 1, (32, 8)).astype(np.float32)
+    y = rng.normal(0, 1, (32, 4)).astype(np.float32)
+
+    def loss(w, x, t):
+        return jnp.mean((x @ w - t) ** 2)
+
+    l0 = float(loss(jnp.asarray(W), jnp.asarray(X), jnp.asarray(y)))
+    g0 = jax.grad(loss)(jnp.asarray(W), jnp.asarray(X), jnp.asarray(y))
+
+    w_d = jax.device_put(jnp.asarray(W), NamedSharding(mesh, P()))
+    x_d = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P(DATA_AXIS, None)))
+    y_d = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P(DATA_AXIS, None)))
+    f = jax.jit(jax.value_and_grad(loss))
+    l1, g1 = f(w_d, x_d, y_d)
+    assert abs(float(l1) - l0) < 1e-6
+    assert np.allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
