@@ -1,0 +1,189 @@
+"""Benchmark: train-step throughput of the flagship DARE+QNN-alpha model.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+
+Method: the full jitted train step (forward, WLL loss + aux, backward,
+AdamW/adafactor update, EMA) on synthetic batches at reference shapes
+(cfgs/dare_qnn_next.yaml: B=8192, L=400, K=60, D=64, 10M-row seq tables,
+35 hashed cat columns, 82 numerics), driven by a device-side
+``lax.scan`` over steps so dispatch latency doesn't pollute the number.
+
+The reference publishes no throughput (BASELINE.md): ``vs_baseline`` is
+measured against ``bench_baseline.json`` (this repo's recorded round-1
+jnp-path number) when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def build_cfg(args):
+    from tossctr_tpu.config import Config
+
+    cat_cols = ["gender", "age_group", "inventory_id", "day_of_week", "hour"] + [
+        f"l_feat_{i}" for i in range(1, 28)
+    ] + ["feat_a_2", "feat_a_8", "feat_a_9"]
+    buckets = {c: 1009 for c in cat_cols}
+    buckets["inventory_id"] = 2003
+    buckets["l_feat_14"] = 4013
+    cat_dims = {c: 8 for c in cat_cols}
+    cat_dims.update({"inventory_id": 16, "l_feat_5": 33, "l_feat_12": 64, "l_feat_14": 57})
+    return Config.from_dict(
+        {
+            "exp_name": "bench",
+            "seed": 0,
+            "amp": args.amp,
+            "data": {"cat_cols": cat_cols, "hash_buckets": buckets},
+            "sequence": {
+                "max_len": args.seq_len,
+                "top_k": args.top_k,
+                "recency_tau": 512,
+                "query_mode": "concat",
+                "query_key": "inventory_id",
+                "transformer_block": True,
+                "tfm": {"n_layers": 3, "n_heads": 8, "ffn_hidden": 384,
+                        "mha_dropout": 0.1, "ffn_dropout": 0.1},
+            },
+            "model": {
+                "emb_dim": 64,
+                "seq_vocab": args.vocab,
+                "dare_dropout": 0.2,
+                "embedding_dropout": 0.0,
+                "cat_embedding_dims": cat_dims,
+                "qnn_alpha": {
+                    "enabled": True, "feature_embed_dim": 32, "heads": 6,
+                    "rank": 16, "proj_dim": 192, "mlp_hidden": [512, 256],
+                    "dropout": 0.2, "use_se": True, "se_reduction": 8,
+                    "use_residual": True, "norm": "rms", "pair_grouping": "all",
+                    "aux_head_weight": 0.1,
+                },
+            },
+            "train": {
+                "batch_size": args.batch, "epochs": 8, "lr": 3e-4,
+                "weight_decay": 1e-4, "warmup_epochs": 2, "grad_clip_norm": 0.5,
+                # factored second moments for the 10M-row tables: AdamW's
+                # dense m+v would not fit one chip's HBM next to the tables
+                "embedding_optimizer": args.emb_opt,
+            },
+            # EMA shadows of the two 10M-row tables would add 5.15 GB fp32
+            # on top of params+grads and blow the 16 GB HBM; the reference's
+            # own param_filter mechanism (ema.py:30) excludes them.
+            "ema": {"enabled": True, "decay": 0.999,
+                    "param_filter": [] if args.ema_tables else ["emb_att", "emb_rep"]},
+            "cv": {"n_splits": 1, "group_key": "inventory_id"},
+        }
+    )
+
+
+def synth_batch(cfg, n_num, rng):
+    B = cfg.train.batch_size
+    b = {
+        "X_num": rng.normal(0, 1, (B, n_num)).astype(np.float32),
+        "X_mask": (rng.random((B, n_num)) < 0.2).astype(np.float32),
+        "X_cat": np.stack(
+            [rng.integers(0, cfg.data.bucket_for(c), B) for c in cfg.data.cat_cols], 1
+        ).astype(np.int32),
+        "seq": rng.integers(0, cfg.model.seq_vocab, (B, cfg.sequence.max_len)).astype(np.int32),
+        "y": (rng.random(B) < 0.02).astype(np.float32),
+    }
+    b["seq"][:, : cfg.sequence.max_len // 4] = 0
+    return b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--vocab", type=int, default=10_000_000)
+    ap.add_argument("--seq-len", type=int, default=400)
+    ap.add_argument("--top-k", type=int, default=60)
+    ap.add_argument("--num-feats", type=int, default=82)
+    ap.add_argument("--amp", default="bf16")
+    ap.add_argument("--emb-opt", default="adafactor")
+    ap.add_argument("--ema-tables", action="store_true",
+                    help="include the big seq tables in the EMA shadow")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tossctr_tpu.train.ema import init_ema, make_ema_mask
+    from tossctr_tpu.train.trainer import (
+        TrainState, build_model, make_optimizer, make_train_step,
+    )
+
+    cfg = build_cfg(args)
+    n_num = args.num_feats
+    dims = {"X_num": n_num, "X_mask": n_num, "X_cat": len(cfg.data.cat_cols),
+            "seq_len": cfg.sequence.max_len}
+    model = build_model(cfg, dims)
+    rng = np.random.default_rng(0)
+    batch = synth_batch(cfg, n_num, rng)
+
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1000)
+    t0 = time.time()
+    init_batch = {k: v[:256] for k, v in batch.items() if k != "y"}
+    params = model.init(jax.random.PRNGKey(0), init_batch, deterministic=True)
+    opt_state = tx.init(params)
+    ema_mask = make_ema_mask(params, cfg.ema.param_filter)
+    state = TrainState(params, opt_state, init_ema(params, ema_mask), jnp.zeros((), jnp.int32))
+    jax.block_until_ready(state.params)
+    print(f"# init: {time.time()-t0:.1f}s  params={sum(x.size for x in jax.tree_util.tree_leaves(params))/1e6:.1f}M")
+
+    train_step = make_train_step(model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask)
+    batch_dev = jax.device_put(batch)
+
+    t0 = time.time()
+    state, loss = train_step(state, batch_dev)
+    jax.block_until_ready(loss)
+    print(f"# compile+step1: {time.time()-t0:.1f}s loss={float(loss):.4f}")
+
+    for _ in range(args.warmup - 1):
+        state, loss = train_step(state, batch_dev)
+    jax.block_until_ready(loss)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, loss = train_step(state, batch_dev)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    eps = args.steps * args.batch / dt
+    step_ms = dt / args.steps * 1e3
+    print(f"# {args.steps} steps in {dt:.3f}s -> {step_ms:.1f} ms/step, loss={float(loss):.4f}")
+
+    vs = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f).get("examples_per_sec_per_chip")
+        if base:
+            vs = eps / float(base)
+    print(json.dumps({
+        "metric": "examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,13 +45,23 @@ def make_ema_mask(params, param_filter: Optional[Sequence[str]] = None):
     )
 
 
-def init_ema(params, param_filter: Optional[Sequence[str]] = None) -> EmaState:
-    del param_filter  # filtering is applied at update time via the mask
-    # copy=True: astype on an fp32 param would alias the param's buffer,
-    # which breaks donation in the jitted train step (same buffer donated
-    # twice via params and shadow).
+def init_ema(params, mask=None) -> EmaState:
+    """``mask``: static filter pytree from make_ema_mask.  Filtered-out
+    leaves get a scalar placeholder instead of a full fp32 copy —
+    shadowing a 10M-row table that is never updated would waste GBs of
+    HBM.
+
+    copy=True below: astype on an fp32 param would alias the param's
+    buffer, which breaks donation in the jitted train step (same buffer
+    donated twice via params and shadow)."""
+    if mask is None:
+        mask = jax.tree_util.tree_map(lambda _: True, params)
     shadow = jax.tree_util.tree_map(
-        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
+        lambda p, m: jnp.array(p, dtype=jnp.float32, copy=True)
+        if m
+        else jnp.zeros((), jnp.float32),
+        params,
+        mask,
     )
     return EmaState(shadow=shadow, num_updates=jnp.zeros((), jnp.int32))
 

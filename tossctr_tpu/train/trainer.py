@@ -222,8 +222,8 @@ def train_one_fold(
     sample = next(iter(BatchIterator(cache, idx_tr[: t.batch_size], batch_size=t.batch_size, train=True)))
     params = model.init(init_key, sample, deterministic=True)
     opt_state = tx.init(params)
-    ema = init_ema(params) if cfg.ema.enabled else None
     ema_mask = make_ema_mask(params, cfg.ema.param_filter) if cfg.ema.enabled else None
+    ema = init_ema(params, ema_mask) if cfg.ema.enabled else None
     state = TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))
 
     step_key = jax.random.PRNGKey(cfg.seed + 7919 * fold)
