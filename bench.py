@@ -107,7 +107,8 @@ def main():
     ap.add_argument("--top-k", type=int, default=60)
     ap.add_argument("--num-feats", type=int, default=82)
     ap.add_argument("--amp", default="bf16")
-    ap.add_argument("--emb-opt", default="adafactor")
+    ap.add_argument("--emb-opt", default="rowwise_adagrad",
+                    help="rowwise_adagrad|sparse_sgd (row-sparse) or adamw|adafactor|sgd (dense)")
     ap.add_argument("--ema-tables", action="store_true",
                     help="include the big seq tables in the EMA shadow")
     ap.add_argument("--steps", type=int, default=20)
@@ -122,9 +123,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from tossctr_tpu.train.ema import init_ema, make_ema_mask
     from tossctr_tpu.train.trainer import (
-        TrainState, build_model, make_optimizer, make_train_step,
+        build_model, make_optimizer, make_train_state, make_train_step,
     )
 
     cfg = build_cfg(args)
@@ -135,17 +135,18 @@ def main():
     rng = np.random.default_rng(0)
     batch = synth_batch(cfg, n_num, rng)
 
-    tx, _ = make_optimizer(cfg, steps_per_epoch=1000)
+    tx, schedule = make_optimizer(cfg, steps_per_epoch=1000)
     t0 = time.time()
     init_batch = {k: v[:256] for k, v in batch.items() if k != "y"}
-    params = model.init(jax.random.PRNGKey(0), init_batch, deterministic=True)
-    opt_state = tx.init(params)
-    ema_mask = make_ema_mask(params, cfg.ema.param_filter)
-    state = TrainState(params, opt_state, init_ema(params, ema_mask), jnp.zeros((), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), init_batch, deterministic=True)
+    state, ema_mask = make_train_state(cfg, variables, tx)
     jax.block_until_ready(state.params)
-    print(f"# init: {time.time()-t0:.1f}s  params={sum(x.size for x in jax.tree_util.tree_leaves(params))/1e6:.1f}M")
+    n_par = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"# init: {time.time()-t0:.1f}s  params={n_par/1e6:.1f}M")
 
-    train_step = make_train_step(model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask)
+    train_step = make_train_step(
+        model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask, schedule=schedule
+    )
     batch_dev = jax.device_put(batch)
 
     t0 = time.time()

@@ -114,7 +114,8 @@ def test_relu_gating_and_no_transformer():
 def test_bf16_compute_fp32_params():
     cfg = _cfg()
     _, params, batch, (z, p, _) = _init_apply(cfg, model_over={"dtype": jnp.bfloat16})
-    for leaf in jax.tree_util.tree_leaves(params):
+    # trainable params fp32 (perturbations follow the compute dtype)
+    for leaf in jax.tree_util.tree_leaves(params["params"]):
         assert leaf.dtype == jnp.float32
     assert z.dtype == jnp.float32  # logits upcast at the head
 

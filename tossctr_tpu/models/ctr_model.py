@@ -212,6 +212,7 @@ class CTRModel(nn.Module):
     dtype: Any = jnp.float32
     se_batch_stats: bool = True
     sparse_topk_backward: bool = True
+    sparse_tables: bool = False  # see DARE.sparse_tables
     emb_init_std: float = 1.0
     score_fn: Optional[Any] = None
 
@@ -292,6 +293,7 @@ class CTRModel(nn.Module):
             add_positional_bias=sp.tfm_add_pos_bias,
             emb_init_std=self.emb_init_std,
             sparse_backward=self.sparse_topk_backward,
+            sparse_tables=self.sparse_tables,
             dtype=self.dtype,
             score_fn=self.score_fn,
             name="dare",

@@ -22,7 +22,9 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.topk_select import dare_topk_select
+import jax
+
+from ..ops.topk_select import dare_select_ids
 from .layers import DAREEncoderLayer
 
 
@@ -44,6 +46,12 @@ class DARE(nn.Module):
     add_positional_bias: bool = True
     emb_init_std: float = 1.0  # torch nn.Embedding default is N(0,1)
     sparse_backward: bool = True
+    # sparse_tables=True detaches the tables from autodiff entirely: the
+    # train step reads gradients w.r.t. the *gathered rows* through the
+    # 'perturbations' collection and applies row-sparse optimizer updates
+    # (train/sparse_embed.py), instead of letting XLA materialize a dense
+    # (vocab, D) scatter-add cotangent per table per step.
+    sparse_tables: bool = False
     dtype: Any = jnp.float32
     score_fn: Optional[Any] = None  # pallas scoring kernel hook
 
@@ -62,17 +70,24 @@ class DARE(nn.Module):
             (self.seq_vocab, self.emb_dim),
             jnp.float32,
         )
-        sel_rep, vals, _ = dare_topk_select(
-            emb_att,
-            emb_rep,
-            seq_ids,
-            query_vec.astype(self.dtype),
-            top_k=self.top_k,
-            tau=self.recency_tau,
-            pad_id=self.pad_id,
-            sparse_backward=self.sparse_backward,
+        query = query_vec.astype(self.dtype)
+        idx, sel_ids, log_decay = dare_select_ids(
+            emb_att, seq_ids, query,
+            top_k=self.top_k, tau=self.recency_tau, pad_id=self.pad_id,
             score_fn=self.score_fn,
         )
+        self.sow("intermediates", "sel_ids", sel_ids)
+
+        att_tbl = jax.lax.stop_gradient(emb_att) if self.sparse_tables else emb_att
+        rep_tbl = jax.lax.stop_gradient(emb_rep) if self.sparse_tables else emb_rep
+        sel_nonpad = (sel_ids != self.pad_id).astype(self.dtype)[..., None]
+        # perturb(): identity whose cotangent is the gathered rows' gradient
+        att_sel = jnp.take(att_tbl, sel_ids, axis=0).astype(self.dtype) * sel_nonpad
+        att_sel = self.perturb("att_rows", att_sel)
+        vals = jnp.einsum("bkd,bd->bk", att_sel, query) + jnp.take(log_decay, idx)
+        vals = jnp.where(sel_ids == self.pad_id, jnp.asarray(-1e9, self.dtype), vals)
+        sel_rep = jnp.take(rep_tbl, sel_ids, axis=0).astype(self.dtype) * sel_nonpad
+        sel_rep = self.perturb("rep_rows", sel_rep)
 
         x = sel_rep
         if self.transformer_block:

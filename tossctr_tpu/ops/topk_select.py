@@ -49,6 +49,40 @@ def _scores(att: jnp.ndarray, query: jnp.ndarray, seq_ids: jnp.ndarray,
     return jnp.where(seq_ids == pad_id, jnp.asarray(-1e9, s.dtype), s)
 
 
+def dare_select_ids(
+    att_table: jnp.ndarray,
+    seq_ids: jnp.ndarray,
+    query: jnp.ndarray,
+    *,
+    top_k: int,
+    tau: float,
+    pad_id: int = 0,
+    score_fn=None,
+):
+    """Selection phase only, entirely under stop_gradient:
+    -> (idx (B,K) positions into L, sel_ids (B,K) token ids, log_decay (L,)).
+
+    The indices are not differentiable, so running the full-L scoring
+    pass without autodiff costs nothing in fidelity and keeps the
+    (B,L,D) gather out of the backward graph (SURVEY.md §2.5)."""
+    B, L = seq_ids.shape
+    K = min(top_k, L)
+    cdt = query.dtype
+    log_decay = recency_log_decay(L, float(tau), cdt)
+    sg_table = jax.lax.stop_gradient(att_table)
+    sg_query = jax.lax.stop_gradient(query)
+    if score_fn is not None:
+        scores = score_fn(sg_table, seq_ids, sg_query, log_decay, pad_id)
+    else:
+        att = jnp.take(sg_table, seq_ids, axis=0).astype(cdt)
+        att = att * (seq_ids != pad_id)[..., None].astype(cdt)
+        scores = _scores(att, sg_query, seq_ids, log_decay, pad_id)
+    _, idx = jax.lax.top_k(scores, K)
+    idx = jax.lax.stop_gradient(idx)
+    sel_ids = jnp.take_along_axis(seq_ids, idx, axis=1)
+    return idx, sel_ids, log_decay
+
+
 def dare_topk_select(
     att_table: jnp.ndarray,
     rep_table: jnp.ndarray,
@@ -75,26 +109,15 @@ def dare_topk_select(
     nonpad = (seq_ids != pad_id)
 
     if sparse_backward:
-        # ---- selection pass: values only, no gradient ----
-        sg_table = jax.lax.stop_gradient(att_table)
-        sg_query = jax.lax.stop_gradient(query)
-        if score_fn is not None:
-            scores = score_fn(sg_table, seq_ids, sg_query, log_decay, pad_id)
-        else:
-            att = jnp.take(sg_table, seq_ids, axis=0).astype(cdt)
-            att = att * nonpad[..., None].astype(cdt)
-            scores = _scores(att, sg_query, seq_ids, log_decay, pad_id)
-        _, idx = jax.lax.top_k(scores, K)  # (B,K), score order
-        idx = jax.lax.stop_gradient(idx)
-
+        idx, sel_ids, log_decay = dare_select_ids(
+            att_table, seq_ids, query, top_k=top_k, tau=tau, pad_id=pad_id,
+            score_fn=score_fn,
+        )
         # ---- differentiable recompute on the K selected positions ----
-        sel_ids = jnp.take_along_axis(seq_ids, idx, axis=1)  # (B,K)
         sel_nonpad = (sel_ids != pad_id).astype(cdt)[..., None]
         att_sel = jnp.take(att_table, sel_ids, axis=0).astype(cdt) * sel_nonpad
         vals = jnp.einsum("bkd,bd->bk", att_sel, query)
-        vals = vals + jnp.take_along_axis(
-            jnp.broadcast_to(log_decay[None, :], (B, L)), idx, axis=1
-        )
+        vals = vals + jnp.take(log_decay, idx)
         vals = jnp.where(sel_ids == pad_id, jnp.asarray(-1e9, cdt), vals)
     else:
         # dense reference path (correctness oracle / parity testing)

@@ -46,9 +46,17 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: Optional[EmaState]
     step: jnp.ndarray  # int32 global step (1-based after first update)
+    table_opt: Any = None  # sparse-mode per-table optimizer state
 
 
 _EMB_MARKERS = ("emb_att", "emb_rep", "table_")
+# the two giant sequence tables that get row-sparse treatment
+SEQ_TABLES = ("emb_att", "emb_rep")
+SPARSE_EMB_OPTS = ("rowwise_adagrad", "sparse_sgd")
+
+
+def is_sparse_mode(cfg: Config) -> bool:
+    return cfg.train.embedding_optimizer in SPARSE_EMB_OPTS
 
 
 def _is_embedding_path(path) -> bool:
@@ -56,8 +64,36 @@ def _is_embedding_path(path) -> bool:
     return any(m in name for m in _EMB_MARKERS)
 
 
+def extract_tables(params):
+    """Split the two DARE tables out of the param tree.
+    -> (rest_params, {'emb_att': ..., 'emb_rep': ...})"""
+    top = dict(params["params"])
+    dare = dict(top["dare"])
+    tables = {k: dare.pop(k) for k in SEQ_TABLES}
+    top["dare"] = dare
+    rest = dict(params)
+    rest["params"] = top
+    return rest, tables
+
+
+def insert_tables(rest, tables):
+    top = dict(rest["params"])
+    dare = dict(top["dare"])
+    dare.update(tables)
+    top["dare"] = dare
+    full = dict(rest)
+    full["params"] = top
+    return full
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int):
+    """Dense-parameter optimizer.  In sparse mode the returned transform
+    covers only the non-table params (tables are updated by
+    train/sparse_embed.py) and carries NO clip stage — global-norm
+    clipping must see table-row grads too, so the train step scales
+    grads manually before tx.update."""
     t = cfg.train
+    sparse = is_sparse_mode(cfg)
     schedule = make_lr_schedule(
         t.lr,
         warmup_steps=t.warmup_epochs * steps_per_epoch,
@@ -66,11 +102,11 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
     )
     # torch AdamW defaults (reference train.py:138)
     dense = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=t.weight_decay)
-    if t.embedding_optimizer == "adamw":
+    if sparse or t.embedding_optimizer == "adamw":
         tx = dense
     else:
-        # Giant tables get a factored-state optimizer: O(rows+cols) instead
-        # of O(rows*cols) second moments (TPU memory; see TrainConfig).
+        # Dense-mode alternatives for the tables: factored second moments
+        # (O(rows+cols) state) or plain SGD.
         if t.embedding_optimizer == "adafactor":
             emb = optax.adafactor(schedule)
         elif t.embedding_optimizer == "sgd":
@@ -81,7 +117,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
             lambda path, _: "emb" if _is_embedding_path(path) else "dense", params
         )
         tx = optax.multi_transform({"dense": dense, "emb": emb}, label_fn)
-    if t.grad_clip_norm and t.grad_clip_norm > 0:
+    if not sparse and t.grad_clip_norm and t.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), tx)
     return tx, schedule
 
@@ -92,10 +128,38 @@ def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
         spec=spec,
         dtype=cfg.compute_dtype,
         se_batch_stats=bool((cfg.model.qnn_alpha.extra or {}).get("se_batch_stats", True)),
+        sparse_tables=is_sparse_mode(cfg),
     )
 
 
-def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None):
+def make_train_state(cfg: Config, params, tx):
+    """Build the initial TrainState (+ static EMA mask) from freshly
+    initialized variables; strips non-param collections and wires the
+    sparse-table optimizer state when sparse mode is on."""
+    params = {"params": params["params"]} if "params" in params else params
+    sparse = is_sparse_mode(cfg)
+    ema_filter = list(cfg.ema.param_filter)
+    if sparse:
+        ema_filter += [x for x in SEQ_TABLES if x not in ema_filter]
+    ema_mask = make_ema_mask(params, ema_filter) if cfg.ema.enabled else None
+    ema = init_ema(params, ema_mask) if cfg.ema.enabled else None
+    if sparse:
+        from .sparse_embed import init_rowwise_adagrad
+
+        rest, tables = extract_tables(params)
+        opt_state = tx.init(rest)
+        if cfg.train.embedding_optimizer == "rowwise_adagrad":
+            table_opt = {k: init_rowwise_adagrad(v) for k, v in tables.items()}
+        else:
+            table_opt = {}
+    else:
+        opt_state = tx.init(params)
+        table_opt = None
+    state = TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32), table_opt)
+    return state, ema_mask
+
+
+def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, schedule=None):
     aux_w = float(cfg.model.qnn_alpha.aux_head_weight)
     ema_cfg = cfg.ema
     loss_cfg = cfg.loss or {}
@@ -106,38 +170,30 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None):
     lam_l2 = float(loss_cfg.get("lambda_logit_l2", 0.0)) if apply_extra else 0.0
     n_neg = int(loss_cfg.get("num_neg_per_pos", 8))
     hard_frac = float(loss_cfg.get("hard_neg_frac", 0.0))
+    sparse = is_sparse_mode(cfg)
+    clip = float(cfg.train.grad_clip_norm or 0.0)
+    wd = float(cfg.train.weight_decay)
+    pad_id = int(cfg.sequence.pad_id)
+    emb_opt = cfg.train.embedding_optimizer
+    if sparse:
+        assert schedule is not None, "sparse mode needs the lr schedule"
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-        y = batch["y"]
-        rng = jax.random.fold_in(base_key, state.step)
-        drop_rng, rank_rng = jax.random.split(rng)
-
-        def loss_fn(params):
-            z, _, aux = model.apply(
-                params, batch, deterministic=False, rngs={"dropout": drop_rng}
+    def total_loss(z, aux, y, rank_rng):
+        loss = bce_wll_style(z, y)
+        if aux_w > 0:
+            loss = loss + aux_w * bce_wll_style(aux, y)
+        if lam_rank > 0:
+            loss = loss + lam_rank * pairwise_auc_loss(
+                z, y, rank_rng, num_neg_per_pos=n_neg, hard_frac=hard_frac
             )
-            loss = bce_wll_style(z, y)
-            if aux_w > 0:
-                loss = loss + aux_w * bce_wll_style(aux, y)
-            if lam_rank > 0:
-                loss = loss + lam_rank * pairwise_auc_loss(
-                    z, y, rank_rng, num_neg_per_pos=n_neg, hard_frac=hard_frac
-                )
-            if lam_l2 > 0:
-                loss = loss + lam_l2 * logit_l2(z)
-            return loss
+        if lam_l2 > 0:
+            loss = loss + lam_l2 * logit_l2(z)
+        return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        step = state.step + 1
-        ema = state.ema
+    def finish(params, opt_state, step, ema, table_opt):
         if ema is not None:
             ema = update_ema(
-                ema,
-                params,
-                step,
+                ema, params, step,
                 base_decay=float(ema_cfg.decay),
                 warmup_steps=int(ema_cfg.warmup_steps),
                 warmup_type=str(ema_cfg.warmup_type),
@@ -145,9 +201,97 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None):
                 update_interval=int(ema_cfg.update_interval),
                 mask=ema_mask,
             )
-        return TrainState(params, opt_state, ema, step), loss
+        return TrainState(params, opt_state, ema, step, table_opt)
 
-    return train_step
+    if not sparse:
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+            y = batch["y"]
+            rng = jax.random.fold_in(base_key, state.step)
+            drop_rng, rank_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                z, _, aux = model.apply(
+                    params, batch, deterministic=False, rngs={"dropout": drop_rng}
+                )
+                return total_loss(z, aux, y, rank_rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return finish(params, opt_state, state.step + 1, state.ema, None), loss
+
+        return train_step
+
+    # ---- sparse-table mode ----
+    from .sparse_embed import rowwise_adagrad_update, sparse_sgd_update
+
+    K = min(cfg.sequence.top_k, cfg.sequence.max_len)
+    D = cfg.model.emb_dim
+    cdt = cfg.compute_dtype
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        y = batch["y"]
+        B = batch["seq"].shape[0]
+        rng = jax.random.fold_in(base_key, state.step)
+        drop_rng, rank_rng = jax.random.split(rng)
+        rest, tables = extract_tables(state.params)
+        perts0 = {
+            "dare": {
+                "att_rows": jnp.zeros((B, K, D), cdt),
+                "rep_rows": jnp.zeros((B, K, D), cdt),
+            }
+        }
+
+        def loss_fn(rest_params, perts):
+            full = insert_tables(rest_params, tables)
+            (z, _, aux), vo = model.apply(
+                {**full, "perturbations": perts},
+                batch,
+                deterministic=False,
+                rngs={"dropout": drop_rng},
+                mutable=["intermediates"],
+            )
+            sel_ids = vo["intermediates"]["dare"]["sel_ids"][0]
+            return total_loss(z, aux, y, rank_rng), sel_ids
+
+        (loss, sel_ids), (g_rest, g_perts) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, perts0)
+
+        # global-norm clip across dense grads AND table-row grads, matching
+        # the reference's clip over all parameters (train.py:193-194)
+        if clip > 0:
+            gn = optax.global_norm((g_rest, g_perts))
+            scale = jnp.where(gn > clip, clip / (gn + 1e-6), 1.0)
+            g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
+            g_perts = jax.tree_util.tree_map(lambda g: g * scale, g_perts)
+
+        updates, opt_state = tx.update(g_rest, state.opt_state, rest)
+        rest = optax.apply_updates(rest, updates)
+
+        lr_t = schedule(state.step)
+        g_att = g_perts["dare"]["att_rows"]
+        g_rep = g_perts["dare"]["rep_rows"]
+        table_opt = dict(state.table_opt)
+        new_tables = {}
+        for name, g_rows in (("emb_att", g_att), ("emb_rep", g_rep)):
+            if emb_opt == "rowwise_adagrad":
+                new_tables[name], table_opt[name] = rowwise_adagrad_update(
+                    tables[name], table_opt[name], sel_ids, g_rows,
+                    lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                )
+            else:  # sparse_sgd
+                new_tables[name] = sparse_sgd_update(
+                    tables[name], sel_ids, g_rows,
+                    lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                )
+        params = insert_tables(rest, new_tables)
+        return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
+
+    return train_step_sparse
 
 
 def make_eval_step(model: CTRModel):
@@ -220,14 +364,13 @@ def train_one_fold(
 
     init_key = jax.random.PRNGKey(cfg.seed + 101 * fold)
     sample = next(iter(BatchIterator(cache, idx_tr[: t.batch_size], batch_size=t.batch_size, train=True)))
-    params = model.init(init_key, sample, deterministic=True)
-    opt_state = tx.init(params)
-    ema_mask = make_ema_mask(params, cfg.ema.param_filter) if cfg.ema.enabled else None
-    ema = init_ema(params, ema_mask) if cfg.ema.enabled else None
-    state = TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))
+    variables = model.init(init_key, sample, deterministic=True)
+    state, ema_mask = make_train_state(cfg, variables, tx)
 
     step_key = jax.random.PRNGKey(cfg.seed + 7919 * fold)
-    train_step = make_train_step(model, tx, cfg, step_key, ema_mask=ema_mask)
+    train_step = make_train_step(
+        model, tx, cfg, step_key, ema_mask=ema_mask, schedule=schedule
+    )
     eval_step = make_eval_step(model)
 
     use_ema_eval = cfg.ema.enabled and cfg.ema.eval_with_ema
