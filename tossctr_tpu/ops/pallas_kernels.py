@@ -1,0 +1,242 @@
+"""Pallas TPU kernels for the two hot ops (SURVEY.md §3 hot loops #1/#3).
+
+Each kernel has a pure-jnp oracle in this package (ops/topk_select.py,
+ops/fm_cross.py) and is tested against it in interpret mode on CPU and
+compiled on TPU (tests/test_pallas_kernels.py).
+
+``dare_score``: fused scoring pass for DARE selection — gathered att
+rows x query dot product + recency log-decay + pad masking in one VMEM
+pass, emitting only the (B, L) score matrix.  Feeds ``score_fn`` of
+ops.dare_select_ids.
+
+``fm_cross``: QNN-alpha multi-head low-rank FM cross with custom VJP.
+The jnp path materializes A = einsum(z, U) of shape (B, H, F, R) in HBM
+(~160 MB at bench shapes) for forward AND keeps it for backward; the
+kernel keeps A in VMEM scratch per (batch-block, head), writing only the
+(B, H*P) output.  Backward recomputes A blockwise and accumulates
+dU/dV across the sequential TPU grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ============================================================
+# dare_score
+# ============================================================
+
+
+def _dare_score_kernel(att_ref, q_ref, ids_ref, decay_ref, out_ref, *, pad_id: int):
+    att = att_ref[...]  # (Bb, L, D)
+    q = q_ref[...]  # (Bb, D)
+    ids = ids_ref[...]  # (Bb, L)
+    decay = decay_ref[...]  # (1, L)
+    s = jax.lax.dot_general(
+        att,
+        q,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Bb, L)
+    s = s + decay.astype(jnp.float32)
+    out_ref[...] = jnp.where(ids == pad_id, jnp.asarray(-1e9, jnp.float32), s)
+
+
+def dare_score_pallas(
+    att: jnp.ndarray,
+    query: jnp.ndarray,
+    seq_ids: jnp.ndarray,
+    log_decay: jnp.ndarray,
+    pad_id: int = 0,
+    block_b: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """att (B,L,D) x query (B,D) -> masked scores (B,L) float32."""
+    B, L, D = att.shape
+    bb = min(block_b, B)
+    grid = (_cdiv(B, bb),)
+    return pl.pallas_call(
+        functools.partial(_dare_score_kernel, pad_id=pad_id),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.float32),
+        interpret=interpret,
+    )(att, query, seq_ids, log_decay.reshape(1, L))
+
+
+def make_pallas_score_fn(block_b: int = 256, interpret: bool = False):
+    """Adapter matching ops.topk_select's ``score_fn`` signature."""
+
+    def score_fn(table, seq_ids, query, log_decay, pad_id):
+        att = jnp.take(table, seq_ids, axis=0).astype(query.dtype)
+        att = att * (seq_ids != pad_id)[..., None].astype(query.dtype)
+        return dare_score_pallas(
+            att, query, seq_ids, log_decay, pad_id=pad_id,
+            block_b=block_b, interpret=interpret,
+        )
+
+    return score_fn
+
+
+# ============================================================
+# fm_cross
+# ============================================================
+
+
+def _fm_fwd_kernel(z_ref, u_ref, v_ref, out_ref, *, heads: int):
+    z = z_ref[...]  # (Bb, F, D)
+    Bb, F, D = z.shape
+    for h in range(heads):
+        U = u_ref[h]  # (D, R)
+        V = v_ref[h]  # (R, P)
+        A = jax.lax.dot_general(
+            z.reshape(Bb * F, D), U,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bb, F, U.shape[1])
+        s = jnp.sum(A, axis=1)  # (Bb, R)
+        quad = s * s - jnp.sum(A * A, axis=1)
+        out = jax.lax.dot_general(
+            quad.astype(V.dtype), V,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bb, P)
+        out_ref[:, h, :] = out
+
+
+def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *, heads: int):
+    i = pl.program_id(0)
+    z = z_ref[...]  # (Bb, F, D)
+    Bb, F, D = z.shape
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[...] = jnp.zeros_like(du_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    dz_acc = jnp.zeros((Bb, F, D), jnp.float32)
+    for h in range(heads):
+        U = u_ref[h]  # (D, R)
+        V = v_ref[h]  # (R, P)
+        g = g_ref[:, h, :]  # (Bb, P)
+        A = jax.lax.dot_general(
+            z.reshape(Bb * F, D), U,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bb, F, U.shape[1])
+        s = jnp.sum(A, axis=1)  # (Bb, R)
+        quad = s * s - jnp.sum(A * A, axis=1)
+        # dV: (R, P) += quad^T @ g
+        dv_ref[h] += jax.lax.dot_general(
+            quad, g.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dquad: (Bb, R) = g @ V^T
+        dquad = jax.lax.dot_general(
+            g.astype(jnp.float32), V.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dA = 2*dquad*(s - A)
+        dA = 2.0 * dquad[:, None, :] * (s[:, None, :] - A)  # (Bb, F, R)
+        # dz += dA @ U^T
+        dz_acc = dz_acc + jax.lax.dot_general(
+            dA.reshape(Bb * F, U.shape[1]), U.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bb, F, D)
+        # dU: (D, R) += sum_b z^T dA
+        du_ref[h] += jax.lax.dot_general(
+            z.reshape(Bb * F, D).astype(jnp.float32), dA.reshape(Bb * F, U.shape[1]),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dz_ref[...] = dz_acc.astype(dz_ref.dtype)
+
+
+def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
+    B, F, D = z.shape
+    H, _, R = U.shape
+    P = V.shape[2]
+    bb = min(block_b, B)
+    grid = (_cdiv(B, bb),)
+    out = pl.pallas_call(
+        functools.partial(_fm_fwd_kernel, heads=H),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, R, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, H, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, P), jnp.float32),
+        interpret=interpret,
+    )(z, U, V)
+    return out.reshape(B, H * P).astype(z.dtype)
+
+
+def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
+    B, F, D = z.shape
+    H, _, R = U.shape
+    P = V.shape[2]
+    bb = min(block_b, B)
+    grid = (_cdiv(B, bb),)
+    dz, dU, dV = pl.pallas_call(
+        functools.partial(_fm_bwd_kernel, heads=H),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, R, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, R, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, F, D), z.dtype),
+            jax.ShapeDtypeStruct((H, D, R), jnp.float32),
+            jax.ShapeDtypeStruct((H, R, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z, U, V, g.reshape(B, H, P))
+    return dz, dU.astype(U.dtype), dV.astype(V.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fm_cross_pallas(z, U, V, block_b: int = 256, interpret: bool = False):
+    """Fused multi-head FM cross: z (B,F,D), U (H,D,R), V (H,R,P)
+    -> (B, H*P); numerically equal to ops.fm_cross.fm_cross_multihead."""
+    return _fm_fwd_call(z, U, V, block_b=block_b, interpret=interpret)
+
+
+def _fm_fwd_rule(z, U, V, block_b, interpret):
+    return _fm_fwd_call(z, U, V, block_b=block_b, interpret=interpret), (z, U, V)
+
+
+def _fm_bwd_rule(block_b, interpret, res, g):
+    z, U, V = res
+    dz, dU, dV = _fm_bwd_call(z, U, V, g, block_b=block_b, interpret=interpret)
+    return dz, dU, dV
+
+
+fm_cross_pallas.defvjp(_fm_fwd_rule, _fm_bwd_rule)
