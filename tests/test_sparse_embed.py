@@ -36,7 +36,7 @@ def test_rowwise_adagrad_matches_manual():
     st = init_rowwise_adagrad(jnp.asarray(table))
     new_t, new_st = rowwise_adagrad_update(
         jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(g),
-        lr=0.1, eps=1e-8, weight_decay=0.0, pad_row=0,
+        lr=0.1, eps=1e-8, weight_decay=0.0, pad_row=0, exact_dedup=True,
     )
     new_t = np.asarray(new_t)
     # manual
@@ -51,6 +51,42 @@ def test_rowwise_adagrad_matches_manual():
     untouched = [i for i in range(V) if i not in (3, 7)]
     assert np.allclose(new_t[untouched], table[untouched])
     assert np.allclose(np.asarray(new_st.accum)[[3, 7]], acc[[3, 7]], atol=1e-6)
+
+
+def test_rowwise_adagrad_scatter_path_unique_ids_matches_exact():
+    """Without duplicates, the no-sort scatter path equals exact dedup."""
+    V, D = 30, 4
+    rng = np.random.default_rng(1)
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    ids = np.array([3, 7, 12, 25], np.int32)
+    g = rng.normal(0, 1, (4, D)).astype(np.float32)
+    t_e, s_e = rowwise_adagrad_update(
+        jnp.asarray(table), init_rowwise_adagrad(jnp.asarray(table)),
+        jnp.asarray(ids), jnp.asarray(g), lr=0.1, exact_dedup=True,
+    )
+    t_s, s_s = rowwise_adagrad_update(
+        jnp.asarray(table), init_rowwise_adagrad(jnp.asarray(table)),
+        jnp.asarray(ids), jnp.asarray(g), lr=0.1, exact_dedup=False,
+    )
+    assert np.allclose(np.asarray(t_e), np.asarray(t_s), atol=1e-6)
+    assert np.allclose(np.asarray(s_e.accum), np.asarray(s_s.accum), atol=1e-6)
+
+
+def test_rowwise_adagrad_scatter_path_duplicates_semantics():
+    """Duplicates: accumulator sums per-occurrence g^2; each occurrence is
+    scaled by the shared post-accumulation denominator."""
+    V, D = 10, 2
+    table = np.zeros((V, D), np.float32)
+    ids = np.array([4, 4], np.int32)
+    g = np.array([[1.0, 1.0], [2.0, 2.0]], np.float32)
+    new_t, st = rowwise_adagrad_update(
+        jnp.asarray(table), init_rowwise_adagrad(jnp.asarray(table)),
+        jnp.asarray(ids), jnp.asarray(g), lr=1.0, eps=0.0, exact_dedup=False,
+    )
+    acc = 1.0 + 4.0  # mean over D of each occurrence's g^2, summed
+    assert np.isclose(float(st.accum[4]), acc)
+    want_row = -(1.0 / np.sqrt(acc)) * (g[0] + g[1])
+    assert np.allclose(np.asarray(new_t)[4], want_row, atol=1e-6)
 
 
 def test_rowwise_adagrad_lazy_weight_decay():
@@ -194,3 +230,34 @@ def test_sparse_train_step_runs_and_learns():
     untouched = np.setdiff1d(np.arange(cfg.model.seq_vocab), touched)
     assert np.allclose(att1[untouched], att0[untouched])  # row-sparse
     assert int(state.step) == 8
+
+
+def test_bf16_tables_and_rbg_rng_train():
+    """table_dtype=bfloat16 + rng_impl=rbg: step runs, loss decreases,
+    tables stay bf16."""
+    import jax.numpy as jnp
+    from tossctr_tpu.train.trainer import (
+        build_model, make_base_key, make_optimizer, make_train_state, make_train_step,
+    )
+
+    cfg = _tiny_cfg("rowwise_adagrad")
+    cfg.model.table_dtype = "bfloat16"
+    cfg.train.rng_impl = "rbg"
+    batch = _batch(cfg)
+    dims = {"X_num": 3, "X_mask": 3, "X_cat": 1, "seq_len": cfg.sequence.max_len}
+    model = build_model(cfg, dims)
+    tx, schedule = make_optimizer(cfg, steps_per_epoch=5)
+    variables = model.init(
+        jax.random.PRNGKey(0), {k: v for k, v in batch.items() if k != "y"},
+        deterministic=True,
+    )
+    assert variables["params"]["dare"]["emb_att"].dtype == jnp.bfloat16
+    state, ema_mask = make_train_state(cfg, variables, tx)
+    key = make_base_key(cfg, 1)
+    step = make_train_step(model, tx, cfg, key, ema_mask=ema_mask, schedule=schedule)
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert state.params["params"]["dare"]["emb_att"].dtype == jnp.bfloat16

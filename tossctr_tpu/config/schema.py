@@ -122,6 +122,10 @@ class ModelConfig:
     # Reference hard-codes the sequence vocab at src/train.py:116; here it is
     # a first-class knob (pod-scale configs raise it to 100M+).
     seq_vocab: int = 10_000_000
+    # Storage dtype of the two giant sequence tables.  bfloat16 halves both
+    # HBM footprint and the (B,L,D) gather traffic of the selection pass;
+    # optimizer math stays fp32 (rows are upcast in the sparse update).
+    table_dtype: str = "float32"  # float32 | bfloat16
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -145,7 +149,12 @@ class TrainConfig:
     # matches the reference (dense AdamW over nn.Embedding); "adafactor"
     # keeps the second moment factored (O(rows+cols) state instead of
     # O(rows*cols)), the standard memory-safe choice for 10M+-row tables.
+    # "rowwise_adagrad" / "sparse_sgd" switch to row-sparse updates
+    # (train/sparse_embed.py) — the fast path.
     embedding_optimizer: str = "adamw"
+    # PRNG implementation for dropout keys.  threefry matches JAX defaults;
+    # "rbg" is the TPU-fast generator (~20 ms/step cheaper at B=4096).
+    rng_impl: str = "threefry"
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -77,6 +77,7 @@ class ModelSpec:
     dare_dropout: float
     embedding_dropout: float
     qnn_enabled: bool
+    table_dtype: str = "float32"
     qnn: Dict[str, Any] = field(default_factory=dict)
     block_slices: Dict[str, Tuple[int, int]] = field(default_factory=dict)
     aux_head_weight: float = 0.0
@@ -148,6 +149,7 @@ def build_model_spec(cfg, dims: Dict[str, int]) -> ModelSpec:
         dare_dropout=float(cfg.model.dare_dropout),
         embedding_dropout=float(cfg.model.embedding_dropout),
         qnn_enabled=bool(qa.enabled),
+        table_dtype=str(cfg.model.table_dtype),
         qnn=dict(
             heads=int(qa.heads),
             rank=int(qa.rank),
@@ -275,6 +277,7 @@ class CTRModel(nn.Module):
             query = 0.5 * (cat_e[:, q_idx, :] + s2())
 
         # ---- DARE ----
+        table_dtype = jnp.bfloat16 if sp.table_dtype == "bfloat16" else jnp.float32
         u_seq, aux_logit = DARE(
             seq_vocab=sp.seq_vocab,
             emb_dim=D,
@@ -294,6 +297,7 @@ class CTRModel(nn.Module):
             emb_init_std=self.emb_init_std,
             sparse_backward=self.sparse_topk_backward,
             sparse_tables=self.sparse_tables,
+            table_dtype=table_dtype,
             dtype=self.dtype,
             score_fn=self.score_fn,
             name="dare",

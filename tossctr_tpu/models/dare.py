@@ -52,6 +52,7 @@ class DARE(nn.Module):
     # (train/sparse_embed.py), instead of letting XLA materialize a dense
     # (vocab, D) scatter-add cotangent per table per step.
     sparse_tables: bool = False
+    table_dtype: Any = jnp.float32  # storage dtype of the two tables
     dtype: Any = jnp.float32
     score_fn: Optional[Any] = None  # pallas scoring kernel hook
 
@@ -60,15 +61,15 @@ class DARE(nn.Module):
         """seq_ids (B,L) int32, query_vec (B,D) -> (u_seq (B,D), aux_logit (B,))"""
         emb_att = self.param(
             "emb_att",
-            nn.initializers.normal(self.emb_init_std),
+            nn.initializers.normal(self.emb_init_std, self.table_dtype),
             (self.seq_vocab, self.emb_dim),
-            jnp.float32,
+            self.table_dtype,
         )
         emb_rep = self.param(
             "emb_rep",
-            nn.initializers.normal(self.emb_init_std),
+            nn.initializers.normal(self.emb_init_std, self.table_dtype),
             (self.seq_vocab, self.emb_dim),
-            jnp.float32,
+            self.table_dtype,
         )
         query = query_vec.astype(self.dtype)
         idx, sel_ids, log_decay = dare_select_ids(

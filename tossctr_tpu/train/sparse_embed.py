@@ -75,26 +75,51 @@ def rowwise_adagrad_update(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     pad_row: Optional[int] = None,
+    exact_dedup: bool = False,
 ) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
     """ids (N,) int, row_grads (N,D) — per-occurrence gradients of the
     gathered rows (duplicates allowed).  ``pad_row`` (e.g. the sequence
-    pad id) never receives updates, mirroring torch's padding_idx."""
+    pad id) never receives updates, mirroring torch's padding_idx.
+
+    Two duplicate-handling modes:
+      * exact_dedup=True  — sort + segment-sum duplicates, then one
+        read-modify-write per unique row (textbook AdaGrad).
+      * exact_dedup=False (default) — pure scatter-adds: the accumulator
+        gets each occurrence's g^2, then every occurrence's gradient is
+        scaled by the row's *post-accumulation* statistic and
+        scatter-added.  No sort (TPU sorts of 245k keys cost tens of ms);
+        for duplicate rows this scales each occurrence by the shared
+        denominator instead of scaling their sum — a standard streaming
+        approximation, equal to exact when a row appears once in the
+        batch.  Weight decay applies per occurrence (lazy).
+    """
     V, D = table.shape
     g = row_grads.astype(jnp.float32).reshape(-1, D)
     ids = ids.reshape(-1)
     if pad_row is not None:
         g = g * (ids != pad_row)[:, None]
-    uids, gu = dedup_rows(ids, g, drop_index=V)
 
-    acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
-    g2 = jnp.mean(gu * gu, axis=1)  # row-wise second moment
-    acc_new = acc_rows + g2
-    scale = lr / (jnp.sqrt(acc_new) + eps)
+    if exact_dedup:
+        uids, gu = dedup_rows(ids, g, drop_index=V)
+        acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
+        g2 = jnp.mean(gu * gu, axis=1)  # row-wise second moment
+        acc_new = acc_rows + g2
+        scale = lr / (jnp.sqrt(acc_new) + eps)
+        rows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
+        new_rows = rows * (1.0 - lr * weight_decay) - scale[:, None] * gu
+        table = table.at[uids].set(new_rows.astype(table.dtype), mode="drop")
+        accum = state.accum.at[uids].set(acc_new, mode="drop")
+        return table, RowwiseAdagradState(accum=accum)
 
-    rows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
-    new_rows = rows * (1.0 - lr * weight_decay) - scale[:, None] * gu
-    table = table.at[uids].set(new_rows.astype(table.dtype), mode="drop")
-    accum = state.accum.at[uids].set(acc_new, mode="drop")
+    # ---- no-sort scatter path ----
+    g2 = jnp.mean(g * g, axis=1)  # per-occurrence row second moment
+    accum = state.accum.at[ids].add(g2)
+    scale = lr / (jnp.sqrt(jnp.take(accum, ids, axis=0)) + eps)
+    delta = -scale[:, None] * g
+    if weight_decay:
+        rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
+        delta = delta - (lr * weight_decay) * rows
+    table = table.at[ids].add(delta.astype(table.dtype))
     return table, RowwiseAdagradState(accum=accum)
 
 

@@ -132,6 +132,14 @@ def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
     )
 
 
+def make_base_key(cfg: Config, seed: int):
+    """Dropout base key honoring train.rng_impl ('rbg' is the TPU-fast
+    generator; threefry matches the JAX default)."""
+    if cfg.train.rng_impl and cfg.train.rng_impl != "threefry":
+        return jax.random.key(seed, impl=cfg.train.rng_impl)
+    return jax.random.PRNGKey(seed)
+
+
 def make_train_state(cfg: Config, params, tx):
     """Build the initial TrainState (+ static EMA mask) from freshly
     initialized variables; strips non-param collections and wires the
@@ -230,6 +238,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, s
     K = min(cfg.sequence.top_k, cfg.sequence.max_len)
     D = cfg.model.emb_dim
     cdt = cfg.compute_dtype
+    exact_dedup = bool(cfg.train.extra.get("exact_dedup", False))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
@@ -282,6 +291,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, s
                 new_tables[name], table_opt[name] = rowwise_adagrad_update(
                     tables[name], table_opt[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                    exact_dedup=exact_dedup,
                 )
             else:  # sparse_sgd
                 new_tables[name] = sparse_sgd_update(
@@ -367,7 +377,7 @@ def train_one_fold(
     variables = model.init(init_key, sample, deterministic=True)
     state, ema_mask = make_train_state(cfg, variables, tx)
 
-    step_key = jax.random.PRNGKey(cfg.seed + 7919 * fold)
+    step_key = make_base_key(cfg, cfg.seed + 7919 * fold)
     train_step = make_train_step(
         model, tx, cfg, step_key, ema_mask=ema_mask, schedule=schedule
     )
