@@ -19,6 +19,21 @@ import numpy as np
 _KEYS = ["X_num", "X_mask", "X_cat", "seq", "y", "groups", "ids"]
 
 
+def _use_native_gather() -> bool:
+    """Native threaded gather, on by default when the library builds;
+    TOSSCTR_NATIVE_GATHER=0 disables."""
+    import os
+
+    if os.environ.get("TOSSCTR_NATIVE_GATHER", "1") == "0":
+        return False
+    try:
+        from ..native.build import have_fastgather
+
+        return have_fastgather()
+    except Exception:
+        return False
+
+
 class _Shard:
     def __init__(self, meta: dict):
         self.meta = meta
@@ -75,7 +90,6 @@ class ShardCache:
     def gather(self, idx: np.ndarray, train: bool = True) -> Dict[str, np.ndarray]:
         idx = np.asarray(idx, dtype=np.int64)
         sid = np.searchsorted(self.ends, idx, side="right")
-        out: Dict[str, List] = {}
         n = idx.shape[0]
         batch: Dict[str, np.ndarray] = {}
         # allocate once from dims
@@ -88,6 +102,7 @@ class ShardCache:
             batch["y"] = np.empty((n,), np.float32)
         else:
             batch["ids"] = np.empty((n,), dtype="U64")
+        keys = ["X_num", "X_mask", "X_cat", "seq"] + (["y"] if train else [])
         for s in np.unique(sid):
             sel = sid == s
             li = idx[sel] - self.starts[s]
@@ -97,15 +112,31 @@ class ShardCache:
             inv = np.empty_like(order)
             inv[order] = np.arange(order.size)
             li_sorted = li[order]
-            batch["X_num"][sel] = arrs["X_num"][li_sorted].astype(np.float32)[inv]
-            batch["X_mask"][sel] = arrs["X_mask"][li_sorted].astype(np.float32)[inv]
-            batch["X_cat"][sel] = arrs["X_cat"][li_sorted][inv]
-            batch["seq"][sel] = arrs["seq"][li_sorted][inv]
+            raw = self._gather_raw(arrs, keys, li_sorted)
+            batch["X_num"][sel] = raw["X_num"].astype(np.float32, copy=False)[inv]
+            batch["X_mask"][sel] = raw["X_mask"].astype(np.float32)[inv]
+            batch["X_cat"][sel] = raw["X_cat"][inv]
+            batch["seq"][sel] = raw["seq"][inv]
             if train:
-                batch["y"][sel] = arrs["y"][li_sorted].astype(np.float32)[inv]
+                batch["y"][sel] = raw["y"].astype(np.float32)[inv]
             elif "ids" in arrs:
                 batch["ids"][sel] = arrs["ids"][li_sorted][inv]
         return batch
+
+    def _gather_raw(self, arrs, keys, li_sorted) -> Dict[str, np.ndarray]:
+        """Per-shard raw row gather; uses the native threaded gather
+        (tossctr_tpu/native) when available, NumPy otherwise."""
+        if _use_native_gather():
+            from ..native.build import gather_rows_multi_native
+
+            srcs = [arrs[k] for k in keys]
+            outs = [
+                np.empty((li_sorted.shape[0],) + arrs[k].shape[1:], arrs[k].dtype)
+                for k in keys
+            ]
+            if gather_rows_multi_native(srcs, li_sorted, outs):
+                return dict(zip(keys, outs))
+        return {k: arrs[k][li_sorted] for k in keys}
 
     def labels(self) -> np.ndarray:
         return np.concatenate([np.asarray(s.arrs["y"]) for s in self.shards])
