@@ -1,0 +1,60 @@
+"""Fused MHA kernel vs the jnp oracle (interpret mode, no dropout —
+in-kernel PRNG dropout is exercised on real TPU by bench tooling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tossctr_tpu.ops.pallas_attention import fused_mha, mha_reference
+
+
+def _data(B=8, K=12, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(0, 1, (B, K, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (B, K, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (B, K, D)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.5, (K, K)).astype(np.float32))
+    seed_arr = jnp.zeros((1,), jnp.int32)
+    return q, k, v, bias, seed_arr
+
+
+@pytest.mark.parametrize("H", [2, 4])
+@pytest.mark.parametrize("K", [12, 8])
+def test_fused_mha_forward_matches_reference(H, K):
+    q, k, v, bias, seed = _data(K=K)
+    got = np.asarray(fused_mha(q, k, v, bias, seed, H, 0.0, 4, True))
+    want = np.asarray(mha_reference(q, k, v, bias, H))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_fused_mha_k_not_multiple_of_8():
+    q, k, v, bias, seed = _data(B=6, K=13, D=16)
+    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True))
+    want = np.asarray(mha_reference(q, k, v, bias, 2))
+    assert np.allclose(got, want, atol=2e-4)
+
+
+def test_fused_mha_gradients_match_reference():
+    q, k, v, bias, seed = _data(B=6, K=10, D=16)
+    g_out = jnp.asarray(np.random.default_rng(1).normal(0, 1, (6, 10, 16)).astype(np.float32))
+
+    def loss_pallas(q, k, v, bias):
+        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True) * g_out)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(mha_reference(q, k, v, bias, 2) * g_out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(gp, gr, ["dq", "dk", "dv", "dbias"]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4), (
+            name, np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
+
+
+def test_fused_mha_partial_batch_block():
+    q, k, v, bias, seed = _data(B=10, K=12, D=16)
+    got = np.asarray(fused_mha(q, k, v, bias, seed, 4, 0.0, 4, True))
+    want = np.asarray(mha_reference(q, k, v, bias, 4))
+    assert np.allclose(got, want, atol=2e-4)

@@ -1,0 +1,296 @@
+"""Fused multi-head self-attention over the K selected tokens.
+
+Why: the DARE transformer runs MHA over K≈60 tokens with 8 heads of
+width 8 (reference dare.py:39-70).  XLA lowers the per-head einsums to
+tiny (60x8)@(8x60) contractions with transposes in between and
+materializes the (B,H,K,K) probability tensor in HBM — measured as the
+dominant cost of the whole train step on v5e.  This kernel computes
+softmax((QK^T)/sqrt(dh) + bias)V for ALL heads inside VMEM per batch
+block and writes only the (B,K,D) output.
+
+Layout trick: tensors stay in (Bb, K, D) layout end-to-end.  For head h
+with dim slice m_h, S_h = (Q∘m_h) K^T is a full-D contraction (zeros
+outside the head's dims contribute nothing), and O accumulates
+Σ_h P_h (V∘m_h).  That turns H tiny dh-contractions into H D-wide MXU
+matmuls and avoids every reshape/transpose across the lane dimension.
+
+Attention-probability dropout (torch nn.MultiheadAttention semantics)
+runs in-kernel with the TPU PRNG; the backward kernel reseeds with the
+same (seed, block, head) tuple to regenerate the identical mask.
+
+The head-averaged additive bias quirk (dare.py:56-60) is an explicit
+(K, K) input shared by all heads; its gradient accumulates across the
+sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _head_mask(h: int, dh: int, D: int):
+    """(1,1,D) float mask of head h's dim slice, built from iota so the
+    kernel captures no array constants."""
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    return ((d_idx >= h * dh) & (d_idx < (h + 1) * dh)).astype(jnp.float32)
+
+
+def _dropout_keep(shape, p: float, seed, salt: int):
+    """Regenerable keep-mask scaled by 1/(1-p)."""
+    pltpu.prng_seed(seed + salt)
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = np.uint32(int(p * (2**32)))
+    keep = (bits >= threshold).astype(jnp.float32)
+    return keep / (1.0 - p)
+
+
+def _attn_fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
+    K: int, dropout_p: float,
+):
+    i = pl.program_id(0)
+    q = q_ref[...].astype(jnp.float32)  # (Bb, Kp, D)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)  # (Kp, Kp)
+    Bb, Kp, D = q.shape
+    scale = 1.0 / np.sqrt(dh)
+    # mask out padded key columns
+    col = jax.lax.broadcasted_iota(jnp.int32, (Kp, Kp), 1)
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    o = jnp.zeros((Bb, Kp, D), jnp.float32)
+    for h in range(H):
+        qh = q * _head_mask(h, dh, D)
+        s = jax.lax.dot_general(
+            qh, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (Bb, Kp, Kp)
+        s = s + bias[None, :, :] + colmask[None, :, :]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_p > 0.0:
+            p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
+        vh = v * _head_mask(h, dh, D)
+        o = o + jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int,
+    dropout_p: float, B_total: int,
+):
+    i = pl.program_id(0)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    Bb, Kp, D = q.shape
+    # zero out-of-range batch rows of the last block: their buffer
+    # content is undefined and dbias sums over the batch dim
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bb, 1, 1), 0) + i * Bb
+    valid = row < B_total  # where(), not *: garbage rows may hold inf/nan
+    q = jnp.where(valid, q, 0.0)
+    k = jnp.where(valid, k, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    do = jnp.where(valid, do, 0.0)
+    scale = 1.0 / np.sqrt(dh)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Kp, Kp), 1)
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    dq = jnp.zeros((Bb, Kp, D), jnp.float32)
+    dk = jnp.zeros((Bb, Kp, D), jnp.float32)
+    dv = jnp.zeros((Bb, Kp, D), jnp.float32)
+    dbias = jnp.zeros((Kp, Kp), jnp.float32)
+    for h in range(H):
+        m = _head_mask(h, dh, D)
+        qh = q * m
+        s = jax.lax.dot_general(
+            qh, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias[None, :, :] + colmask[None, :, :]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_p > 0.0:
+            keep = _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        doh = do * m
+        # dV (head dims only): P_d^T @ dO_h
+        dv = dv + jax.lax.dot_general(
+            pd, doh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dP_d = dO_h @ V^T (full-D contraction; zeros outside head dims)
+        dpd = jax.lax.dot_general(
+            doh, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = dpd * keep if keep is not None else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias = dbias + jnp.sum(ds, axis=0)
+        ds = ds * scale
+        # dQ_h = (dS @ K) masked to head dims
+        dq = dq + jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * m
+        # dK_h = (dS^T @ Q_h)
+        dk = dk + jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    # dbias accumulates across the sequential grid; the buffer is
+    # uninitialized before the first write
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[...] = dbias
+
+    @pl.when(i != 0)
+    def _():
+        dbias_ref[...] += dbias
+
+
+def _pad_kdim(x, Kp):
+    K = x.shape[1]
+    if K == Kp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)))
+
+
+def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
+    B, K, D = q.shape
+    dh = D // H
+    Kp = _round_up(K, 8)
+    bb = min(block_b, B)
+    qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
+    biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
+    grid = (_cdiv(B, bb),)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_fwd_kernel, H=H, dh=dh, K=K, dropout_p=float(dropout_p)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, D), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, biasp, seed)
+    return out[:, :K, :]
+
+
+def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
+    B, K, D = q.shape
+    dh = D // H
+    Kp = _round_up(K, 8)
+    bb = min(block_b, B)
+    qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
+    dop = _pad_kdim(do, Kp)
+    biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
+    grid = (_cdiv(B, bb),)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, H=H, dh=dh, K=K, dropout_p=float(dropout_p),
+            B_total=B,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Kp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Kp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Kp, D), q.dtype),
+            jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, biasp, seed, dop)
+    return dq[:, :K], dk[:, :K], dv[:, :K], dbias[:K, :K].astype(bias.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
+              block_b: int = 64, interpret: bool = False):
+    """softmax((QK^T)/sqrt(dh) + bias) V for all heads, fused.
+
+    q/k/v: (B, K, D) packed head-major (D = n_heads * dh); bias (K, K)
+    shared across heads/batch; seed: int32 array (1,) for attention
+    dropout (ignored when dropout_p == 0).  Returns (B, K, D).
+    """
+    return _fwd_call(
+        q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+
+
+def _fused_mha_fwd(q, k, v, bias, seed, n_heads, dropout_p, block_b, interpret):
+    out = _fwd_call(
+        q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+    return out, (q, k, v, bias, seed)
+
+
+def _fused_mha_bwd(n_heads, dropout_p, block_b, interpret, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv, dbias = _bwd_call(
+        q, k, v, bias, seed, g, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+    return dq, dk, dv, dbias, jnp.zeros_like(seed)
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+def mha_reference(q, k, v, bias, n_heads: int):
+    """jnp oracle (no dropout): same math as models.layers MHA core."""
+    B, K, D = q.shape
+    dh = D // n_heads
+
+    def heads(t):
+        return t.reshape(B, K, n_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(dh)
+    logits = logits + bias[None, None]
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, K, D)
