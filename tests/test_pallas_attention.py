@@ -58,3 +58,24 @@ def test_fused_mha_partial_batch_block():
     got = np.asarray(fused_mha(q, k, v, bias, seed, 4, 0.0, 4, True))
     want = np.asarray(mha_reference(q, k, v, bias, 4))
     assert np.allclose(got, want, atol=2e-4)
+
+
+def test_layer_param_tree_identical_and_outputs_match():
+    """MultiHeadSelfAttention with use_pallas on/off: same param tree,
+    same output (checkpoint portability across backends)."""
+    import flax.linen as nn
+
+    from tossctr_tpu.models.layers import DAREEncoderLayer
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (6, 10, 16)).astype(np.float32))
+    l_ref = DAREEncoderLayer(16, 2, 0.0, 32, 0.0, "rms", True, 10, use_pallas_attn=False)
+    l_pal = DAREEncoderLayer(16, 2, 0.0, 32, 0.0, "rms", True, 10, use_pallas_attn=True)
+    p_ref = l_ref.init(jax.random.PRNGKey(0), x)
+    p_pal = l_pal.init(jax.random.PRNGKey(0), x)
+    s_ref = jax.tree_util.tree_structure(p_ref)
+    s_pal = jax.tree_util.tree_structure(p_pal)
+    assert s_ref == s_pal
+    # kernel auto-interprets on CPU and must reproduce the XLA path
+    y_pal = l_pal.apply(p_ref, x, deterministic=True)
+    y_ref = l_ref.apply(p_ref, x, deterministic=True)
+    assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=5e-4)

@@ -105,3 +105,19 @@ def test_fm_cross_pallas_partial_block():
     got = np.asarray(fm_cross_pallas(z, U, V, 4, True))
     want = np.asarray(fm_cross_multihead(z, U, V))
     assert np.allclose(got, want, atol=1e-3)
+
+
+def test_fm_cross_pallas_gradients_partial_block():
+    """B not divisible by block_b: dU/dV sums must exclude garbage rows."""
+    rng = np.random.default_rng(5)
+    B, F, D, H, R, P = 10, 6, 16, 2, 4, 8
+    z = jnp.asarray(rng.normal(0, 1, (B, F, D)).astype(np.float32))
+    U = jnp.asarray(rng.normal(0, 0.1, (H, D, R)).astype(np.float32))
+    V = jnp.asarray(rng.normal(0, 0.1, (H, R, P)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(0, 1, (B, H * P)).astype(np.float32))
+    gp = jax.grad(lambda z, U, V: jnp.sum(fm_cross_pallas(z, U, V, 4, True) * g_out),
+                  argnums=(0, 1, 2))(z, U, V)
+    gr = jax.grad(lambda z, U, V: jnp.sum(fm_cross_multihead(z, U, V) * g_out),
+                  argnums=(0, 1, 2))(z, U, V)
+    for a, b, name in zip(gp, gr, ["dz", "dU", "dV"]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), name

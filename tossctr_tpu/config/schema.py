@@ -126,6 +126,9 @@ class ModelConfig:
     # HBM footprint and the (B,L,D) gather traffic of the selection pass;
     # optimizer math stays fp32 (rows are upcast in the sparse update).
     table_dtype: str = "float32"  # float32 | bfloat16
+    # Fused Pallas attention over the K selected tokens (ops/pallas_attention).
+    # None = auto: on for TPU backends, off elsewhere.
+    use_pallas_attention: Optional[bool] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

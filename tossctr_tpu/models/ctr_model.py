@@ -215,6 +215,7 @@ class CTRModel(nn.Module):
     se_batch_stats: bool = True
     sparse_topk_backward: bool = True
     sparse_tables: bool = False  # see DARE.sparse_tables
+    use_pallas_attn: bool = False
     emb_init_std: float = 1.0
     score_fn: Optional[Any] = None
 
@@ -297,6 +298,7 @@ class CTRModel(nn.Module):
             emb_init_std=self.emb_init_std,
             sparse_backward=self.sparse_topk_backward,
             sparse_tables=self.sparse_tables,
+            use_pallas_attn=self.use_pallas_attn,
             table_dtype=table_dtype,
             dtype=self.dtype,
             score_fn=self.score_fn,

@@ -53,6 +53,7 @@ class DARE(nn.Module):
     # (vocab, D) scatter-add cotangent per table per step.
     sparse_tables: bool = False
     table_dtype: Any = jnp.float32  # storage dtype of the two tables
+    use_pallas_attn: bool = False
     dtype: Any = jnp.float32
     score_fn: Optional[Any] = None  # pallas scoring kernel hook
 
@@ -102,6 +103,7 @@ class DARE(nn.Module):
                     norm=self.norm,
                     add_pos_bias=self.add_positional_bias,
                     max_len=self.top_k,
+                    use_pallas_attn=self.use_pallas_attn,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )(x, deterministic=deterministic)

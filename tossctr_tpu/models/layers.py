@@ -75,11 +75,16 @@ class MultiHeadSelfAttention(nn.Module):
     """Standard MHA with packed qkv projection and an optional additive
     attention bias shared across heads — matching torch
     nn.MultiheadAttention's math (softmax((qk^T)/sqrt(dh) + bias) v)
-    including attention-probability dropout."""
+    including attention-probability dropout.
+
+    ``use_pallas`` swaps the attention core for the fused VMEM kernel
+    (ops/pallas_attention.py); the parameter tree is identical in both
+    modes, so checkpoints are portable across backends."""
 
     d_model: int
     n_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,19 +96,36 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)
+        if self.use_pallas:
+            from ..ops.pallas_attention import fused_mha
 
-        q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dh, self.dtype)
-        )
-        if attn_bias is not None:
-            logits = logits + attn_bias.astype(logits.dtype)
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        o = o.transpose(0, 2, 1, 3).reshape(B, K, D)
+            p = float(self.dropout) if not deterministic else 0.0
+            if p > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            bias2d = (
+                attn_bias.reshape(K, K).astype(self.dtype)
+                if attn_bias is not None
+                else jnp.zeros((K, K), self.dtype)
+            )
+            o = fused_mha(q, k, v, bias2d, seed, H, p)
+        else:
+            def heads(t):
+                return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)
+
+            qh, kh, vh = heads(q), heads(k), heads(v)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
+                jnp.asarray(dh, self.dtype)
+            )
+            if attn_bias is not None:
+                logits = logits + attn_bias.astype(logits.dtype)
+            w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+            o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+            o = o.transpose(0, 2, 1, 3).reshape(B, K, D)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
 
 
@@ -111,7 +133,11 @@ class DAREEncoderLayer(nn.Module):
     """Post-norm transformer block over the K selected tokens
     (reference dare.py:39-70): MHA + residual + norm, FFN(GELU) +
     residual + norm, with the head-averaged positional bias as a single
-    (K,K) additive mask."""
+    (K,K) additive mask.
+
+    ``use_pallas_attn`` routes the attention core through the fused
+    Pallas kernel (ops/pallas_attention.py): same math, (B,H,K,K)
+    probabilities never leave VMEM."""
 
     d_model: int
     n_heads: int
@@ -121,17 +147,24 @@ class DAREEncoderLayer(nn.Module):
     norm: str = "rms"
     add_pos_bias: bool = True
     max_len: int = 512
+    use_pallas_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, K, D = x.shape
-        bias = None
+        bias2d = None
         if self.add_pos_bias:
             pb = PositionalBias(self.max_len, self.n_heads, dtype=self.dtype, name="pbias")(K, K)
-            bias = pb.mean(axis=0)[None, None, :, :]  # head-avg quirk (dare.py:60)
+            bias2d = pb.mean(axis=0)  # head-avg quirk (dare.py:60)
+        bias = bias2d[None, None, :, :] if bias2d is not None else None
         h = MultiHeadSelfAttention(
-            self.d_model, self.n_heads, self.mha_dropout, dtype=self.dtype, name="mha"
+            self.d_model,
+            self.n_heads,
+            self.mha_dropout,
+            use_pallas=self.use_pallas_attn,
+            dtype=self.dtype,
+            name="mha",
         )(x, attn_bias=bias, deterministic=deterministic)
         x = x + h
         x = make_norm(self.norm, self.dtype)(x)

@@ -39,6 +39,12 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _resolve_interpret(interpret: bool) -> bool:
+    # compiled Mosaic kernels need a TPU; fall back to the interpreter on
+    # CPU/GPU so the ops work (slowly) on any backend
+    return bool(interpret) or jax.default_backend() != "tpu" 
+
+
 def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
@@ -179,6 +185,7 @@ def _pad_kdim(x, Kp):
 
 
 def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
+    interpret = _resolve_interpret(interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
@@ -206,6 +213,7 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
 
 
 def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
+    interpret = _resolve_interpret(interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)

@@ -32,6 +32,12 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _resolve_interpret(interpret: bool) -> bool:
+    # compiled Mosaic kernels need a TPU; fall back to the interpreter on
+    # CPU/GPU so the ops work (slowly) on any backend
+    return bool(interpret) or jax.default_backend() != "tpu" 
+
+
 # ============================================================
 # dare_score
 # ============================================================
@@ -62,6 +68,7 @@ def dare_score_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """att (B,L,D) x query (B,D) -> masked scores (B,L) float32."""
+    interpret = _resolve_interpret(interpret)
     B, L, D = att.shape
     bb = min(block_b, B)
     grid = (_cdiv(B, bb),)
@@ -120,21 +127,24 @@ def _fm_fwd_kernel(z_ref, u_ref, v_ref, out_ref, *, heads: int):
         out_ref[:, h, :] = out
 
 
-def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *, heads: int):
+def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
+                   heads: int, B_total: int):
     i = pl.program_id(0)
     z = z_ref[...]  # (Bb, F, D)
     Bb, F, D = z.shape
+    # sanitize out-of-range batch rows of the last block (undefined buffer
+    # content would poison the dU/dV batch sums)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bb, 1, 1), 0) + i * Bb
+    valid = row < B_total
+    z = jnp.where(valid, z, 0.0)
 
-    @pl.when(i == 0)
-    def _():
-        du_ref[...] = jnp.zeros_like(du_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
-
+    du_acc = [None] * heads
+    dv_acc = [None] * heads
     dz_acc = jnp.zeros((Bb, F, D), jnp.float32)
     for h in range(heads):
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
-        g = g_ref[:, h, :]  # (Bb, P)
+        g = jnp.where(valid[:, 0, :], g_ref[:, h, :], 0.0)  # (Bb, P)
         A = jax.lax.dot_general(
             z.reshape(Bb * F, D), U,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -142,8 +152,8 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *, heads:
         ).reshape(Bb, F, U.shape[1])
         s = jnp.sum(A, axis=1)  # (Bb, R)
         quad = s * s - jnp.sum(A * A, axis=1)
-        # dV: (R, P) += quad^T @ g
-        dv_ref[h] += jax.lax.dot_general(
+        # dV: (R, P) partial = quad^T @ g
+        dv_acc[h] = jax.lax.dot_general(
             quad, g.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,16 +172,30 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *, heads:
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(Bb, F, D)
-        # dU: (D, R) += sum_b z^T dA
-        du_ref[h] += jax.lax.dot_general(
+        # dU: (D, R) partial = sum_b z^T dA
+        du_acc[h] = jax.lax.dot_general(
             z.reshape(Bb * F, D).astype(jnp.float32), dA.reshape(Bb * F, U.shape[1]),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dz_ref[...] = dz_acc.astype(dz_ref.dtype)
+    du_new = jnp.stack(du_acc)
+    dv_new = jnp.stack(dv_acc)
+
+    # accumulate across the sequential grid; buffers start uninitialized
+    @pl.when(i == 0)
+    def _():
+        du_ref[...] = du_new
+        dv_ref[...] = dv_new
+
+    @pl.when(i != 0)
+    def _():
+        du_ref[...] += du_new
+        dv_ref[...] += dv_new
 
 
 def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
+    interpret = _resolve_interpret(interpret)
     B, F, D = z.shape
     H, _, R = U.shape
     P = V.shape[2]
@@ -193,13 +217,14 @@ def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
 
 
 def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
+    interpret = _resolve_interpret(interpret)
     B, F, D = z.shape
     H, _, R = U.shape
     P = V.shape[2]
     bb = min(block_b, B)
     grid = (_cdiv(B, bb),)
     dz, dU, dV = pl.pallas_call(
-        functools.partial(_fm_bwd_kernel, heads=H),
+        functools.partial(_fm_bwd_kernel, heads=H, B_total=B),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

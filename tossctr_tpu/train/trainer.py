@@ -124,11 +124,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
 
 def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
     spec = build_model_spec(cfg, dims)
+    use_pallas = cfg.model.use_pallas_attention
+    if use_pallas is None:  # auto: fused kernel on TPU backends only
+        use_pallas = jax.default_backend() == "tpu"
     return CTRModel(
         spec=spec,
         dtype=cfg.compute_dtype,
         se_batch_stats=bool((cfg.model.qnn_alpha.extra or {}).get("se_batch_stats", True)),
         sparse_tables=is_sparse_mode(cfg),
+        use_pallas_attn=bool(use_pallas),
     )
 
 
