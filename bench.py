@@ -58,6 +58,7 @@ def build_cfg(args):
                 "seq_vocab": args.vocab,
                 "dare_dropout": 0.2,
                 "embedding_dropout": 0.0,
+                "table_dtype": args.table_dtype,
                 "cat_embedding_dims": cat_dims,
                 "qnn_alpha": {
                     "enabled": True, "feature_embed_dim": 32, "heads": 6,
@@ -73,6 +74,7 @@ def build_cfg(args):
                 # factored second moments for the 10M-row tables: AdamW's
                 # dense m+v would not fit one chip's HBM next to the tables
                 "embedding_optimizer": args.emb_opt,
+                "rng_impl": args.rng,
             },
             # EMA shadows of the two 10M-row tables would add 5.15 GB fp32
             # on top of params+grads and blow the 16 GB HBM; the reference's
@@ -111,6 +113,9 @@ def main():
                     help="rowwise_adagrad|sparse_sgd (row-sparse) or adamw|adafactor|sgd (dense)")
     ap.add_argument("--ema-tables", action="store_true",
                     help="include the big seq tables in the EMA shadow")
+    ap.add_argument("--rng", default="rbg", help="dropout PRNG impl (rbg|threefry)")
+    ap.add_argument("--table-dtype", default="bfloat16",
+                    help="seq-table storage dtype (bfloat16|float32)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")

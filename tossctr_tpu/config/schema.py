@@ -105,6 +105,10 @@ class QnnAlphaConfig:
     dropout: float = 0.1
     use_se: bool = True
     se_reduction: int = 8
+    # Reference quirk: SE gates are computed from the BATCH mean
+    # (qnn_alpha.py:25), so inference depends on batch composition.
+    # False gates per-row instead.
+    se_batch_stats: bool = True
     use_residual: bool = True
     norm: str = "rms"
     pair_grouping: str = "block"  # all | block

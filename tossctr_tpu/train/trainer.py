@@ -130,7 +130,7 @@ def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
     return CTRModel(
         spec=spec,
         dtype=cfg.compute_dtype,
-        se_batch_stats=bool((cfg.model.qnn_alpha.extra or {}).get("se_batch_stats", True)),
+        se_batch_stats=bool(cfg.model.qnn_alpha.se_batch_stats),
         sparse_tables=is_sparse_mode(cfg),
         use_pallas_attn=bool(use_pallas),
     )
