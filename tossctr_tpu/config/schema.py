@@ -162,6 +162,10 @@ class TrainConfig:
     # PRNG implementation for dropout keys.  threefry matches JAX defaults;
     # "rbg" is the TPU-fast generator (~20 ms/step cheaper at B=4096).
     rng_impl: str = "threefry"
+    # Epoch-granular in-fold resume (params+optimizer+EMA+counters saved
+    # after every epoch).  The reference can only resume at fold
+    # boundaries (SURVEY.md §5 failure detection).
+    step_checkpointing: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -49,9 +49,11 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _head_mask(h: int, dh: int, D: int):
+def _head_mask(h, dh: int, D: int):
     """(1,1,D) float mask of head h's dim slice, built from iota so the
-    kernel captures no array constants."""
+    kernel captures no array constants.  ``h`` may be a traced loop
+    index (the head loop is a fori_loop so only one head's working set
+    is live in VMEM at a time)."""
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
     return ((d_idx >= h * dh) & (d_idx < (h + 1) * dh)).astype(jnp.float32)
 
@@ -79,8 +81,8 @@ def _attn_fwd_kernel(
     # mask out padded key columns
     col = jax.lax.broadcasted_iota(jnp.int32, (Kp, Kp), 1)
     colmask = jnp.where(col < K, 0.0, -1e9)
-    o = jnp.zeros((Bb, Kp, D), jnp.float32)
-    for h in range(H):
+
+    def head(h, o):
         qh = q * _head_mask(h, dh, D)
         s = jax.lax.dot_general(
             qh, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -92,9 +94,11 @@ def _attn_fwd_kernel(
         if dropout_p > 0.0:
             p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
         vh = v * _head_mask(h, dh, D)
-        o = o + jax.lax.dot_general(
+        return o + jax.lax.dot_general(
             p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+
+    o = jax.lax.fori_loop(0, H, head, jnp.zeros((Bb, Kp, D), jnp.float32))
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -121,11 +125,8 @@ def _attn_bwd_kernel(
     scale = 1.0 / np.sqrt(dh)
     col = jax.lax.broadcasted_iota(jnp.int32, (Kp, Kp), 1)
     colmask = jnp.where(col < K, 0.0, -1e9)
-    dq = jnp.zeros((Bb, Kp, D), jnp.float32)
-    dk = jnp.zeros((Bb, Kp, D), jnp.float32)
-    dv = jnp.zeros((Bb, Kp, D), jnp.float32)
-    dbias = jnp.zeros((Kp, Kp), jnp.float32)
-    for h in range(H):
+    def head(h, carry):
+        dq, dk, dv, dbias = carry
         m = _head_mask(h, dh, D)
         qh = q * m
         s = jax.lax.dot_general(
@@ -162,6 +163,17 @@ def _attn_bwd_kernel(
         dk = dk + jax.lax.dot_general(
             ds, qh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+        return dq, dk, dv, dbias
+
+    dq, dk, dv, dbias = jax.lax.fori_loop(
+        0, H, head,
+        (
+            jnp.zeros((Bb, Kp, D), jnp.float32),
+            jnp.zeros((Bb, Kp, D), jnp.float32),
+            jnp.zeros((Bb, Kp, D), jnp.float32),
+            jnp.zeros((Kp, Kp), jnp.float32),
+        ),
+    )
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)

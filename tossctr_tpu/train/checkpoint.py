@@ -69,7 +69,11 @@ def save_fold_checkpoint(
     global_step: int,
     ema_shadow: Any = None,
     calibrator: Any = None,
+    complete: bool = True,
 ) -> str:
+    """``complete=False`` writes the payload but not meta.json — used for
+    in-progress best-so-far saves under step checkpointing; meta.json's
+    presence is the completeness marker that fold-skip resume keys on."""
     d = fold_ckpt_dir(exp_dir, fold)
     os.makedirs(d, exist_ok=True)
     save_pytree(os.path.join(d, "params.msgpack"), params)
@@ -78,6 +82,19 @@ def save_fold_checkpoint(
     if calibrator is not None:
         with open(os.path.join(d, "calibrator.pkl"), "wb") as f:
             pickle.dump(calibrator, f)
+    if complete:
+        finalize_fold_checkpoint(
+            exp_dir, fold, cfg_dict=cfg_dict, best_score=best_score,
+            epoch=epoch, global_step=global_step,
+        )
+    return d
+
+
+def finalize_fold_checkpoint(
+    exp_dir: str, fold: int, *, cfg_dict: Dict, best_score: float,
+    epoch: int, global_step: int,
+) -> None:
+    d = fold_ckpt_dir(exp_dir, fold)
     meta = {
         "fold": fold,
         "score": float(best_score),
@@ -89,7 +106,6 @@ def save_fold_checkpoint(
     # meta.json written last: its presence marks a complete checkpoint
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
-    return d
 
 
 def load_fold_checkpoint(ckpt_dir: str, params_target: Any = None) -> Dict:

@@ -35,7 +35,13 @@ from ..eval.metrics import final_score
 from ..models import CTRModel, build_model_spec
 from ..utils.log import Logger
 from ..utils.seed import set_seed
-from .checkpoint import fold_ckpt_exists, save_fold_checkpoint
+from .checkpoint import (
+    finalize_fold_checkpoint,
+    fold_ckpt_exists,
+    load_train_state,
+    save_fold_checkpoint,
+    save_train_state,
+)
 from .ema import EmaState, ema_params, init_ema, make_ema_mask, update_ema
 from .loss import bce_wll_style, logit_l2, pairwise_auc_loss
 from .sched import make_lr_schedule
@@ -388,10 +394,28 @@ def train_one_fold(
     eval_step = make_eval_step(model)
 
     use_ema_eval = cfg.ema.enabled and cfg.ema.eval_with_ema
-    best = {"score": -1e9, "state": None}
+    best = {"score": -1e9, "state": None, "epoch": 0, "global_step": 0, "persisted": False}
     wait = 0
+    start_epoch = 1
 
-    for epoch in range(1, t.epochs + 1):
+    exp_dir = cfg.exp_dir()
+    state_path = os.path.join(exp_dir, f"fold_{fold}_state.msgpack")
+    if cfg.train.step_checkpointing and os.path.exists(state_path):
+        target = {
+            "state": state, "epoch": 0, "wait": 0,
+            "best_score": 0.0, "best_epoch": 0, "best_global_step": 0,
+        }
+        saved = load_train_state(state_path, target)
+        state = jax.device_put(saved["state"])
+        start_epoch = int(saved["epoch"]) + 1
+        wait = int(saved["wait"])
+        best.update(
+            score=float(saved["best_score"]), epoch=int(saved["best_epoch"]),
+            global_step=int(saved["best_global_step"]), persisted=True,
+        )
+        logger.row(fold=fold, split="resume", epoch=start_epoch, msg="in-fold resume")
+
+    for epoch in range(start_epoch, t.epochs + 1):
         tr_loader.set_epoch(epoch)
         losses = []
         t0 = time.time()
@@ -455,6 +479,9 @@ def train_one_fold(
         if cur > best["score"]:
             best = {
                 "score": float(cur),
+                "epoch": int(epoch),
+                "global_step": global_step,
+                "persisted": False,
                 "state": {
                     "params": jax.device_get(state.params),
                     # persist the *merged* EMA weights (mask-aware, in the
@@ -469,11 +496,34 @@ def train_one_fold(
                 },
             }
             wait = 0
+            if cfg.train.step_checkpointing:
+                # best payload written immediately (no meta.json yet): a
+                # crash after this point loses at most one epoch
+                st = best["state"]
+                save_fold_checkpoint(
+                    exp_dir, fold, params=st["params"], cfg_dict=cfg.to_dict(),
+                    best_score=st["best_score"], epoch=st["epoch"],
+                    global_step=st["global_step"], ema_shadow=st["ema"],
+                    calibrator=st["calibrator"], complete=False,
+                )
+                best["persisted"] = True
         else:
             wait += 1
-            if wait >= t.early_stop_patience:
-                break
 
+        if cfg.train.step_checkpointing:
+            save_train_state(
+                state_path,
+                step_state={
+                    "state": state, "epoch": epoch, "wait": wait,
+                    "best_score": best["score"], "best_epoch": best["epoch"],
+                    "best_global_step": best["global_step"],
+                },
+            )
+        if wait >= t.early_stop_patience:
+            break
+
+    if cfg.train.step_checkpointing and os.path.exists(state_path):
+        os.remove(state_path)
     return best
 
 
@@ -505,18 +555,26 @@ def train_main(cfg: Config) -> str:
             continue
         best = train_one_fold(cfg, fold, tr, va, manifest_path, logger)
         st = best["state"]
-        if st is None:
+        if st is not None:
+            save_fold_checkpoint(
+                exp_dir,
+                fold,
+                params=st["params"],
+                cfg_dict=cfg.to_dict(),
+                best_score=st["best_score"],
+                epoch=st["epoch"],
+                global_step=st["global_step"],
+                ema_shadow=st["ema"],
+                calibrator=st["calibrator"],
+            )
+        elif best.get("persisted"):
+            # in-fold resume past the best epoch: the payload is already on
+            # disk from the incremental save, only the meta marker is missing
+            finalize_fold_checkpoint(
+                exp_dir, fold, cfg_dict=cfg.to_dict(), best_score=best["score"],
+                epoch=best["epoch"], global_step=best["global_step"],
+            )
+        else:
             raise RuntimeError(f"fold {fold} produced no best state")
-        save_fold_checkpoint(
-            exp_dir,
-            fold,
-            params=st["params"],
-            cfg_dict=cfg.to_dict(),
-            best_score=st["best_score"],
-            epoch=st["epoch"],
-            global_step=st["global_step"],
-            ema_shadow=st["ema"],
-            calibrator=st["calibrator"],
-        )
         logger.row(fold=fold, split="done", Score=round(best["score"], 6))
     return exp_dir
