@@ -72,9 +72,9 @@ def _attn_fwd_kernel(
     K: int, dropout_p: float,
 ):
     i = pl.program_id(0)
-    q = q_ref[...].astype(jnp.float32)  # (Bb, Kp, D)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    q = q_ref[...]  # (Bb, Kp, D), compute dtype (bf16 under amp)
+    k = k_ref[...]
+    v = v_ref[...]
     bias = bias_ref[...].astype(jnp.float32)  # (Kp, Kp)
     Bb, Kp, D = q.shape
     scale = 1.0 / np.sqrt(dh)
@@ -83,7 +83,7 @@ def _attn_fwd_kernel(
     colmask = jnp.where(col < K, 0.0, -1e9)
 
     def head(h, o):
-        qh = q * _head_mask(h, dh, D)
+        qh = q * _head_mask(h, dh, D).astype(q.dtype)
         s = jax.lax.dot_general(
             qh, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale  # (Bb, Kp, Kp)
@@ -93,9 +93,10 @@ def _attn_fwd_kernel(
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if dropout_p > 0.0:
             p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
-        vh = v * _head_mask(h, dh, D)
+        vh = v * _head_mask(h, dh, D).astype(v.dtype)
         return o + jax.lax.dot_general(
-            p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
     o = jax.lax.fori_loop(0, H, head, jnp.zeros((Bb, Kp, D), jnp.float32))
@@ -108,11 +109,11 @@ def _attn_bwd_kernel(
     dropout_p: float, B_total: int,
 ):
     i = pl.program_id(0)
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
     bias = bias_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    do = do_ref[...]
     Bb, Kp, D = q.shape
     # zero out-of-range batch rows of the last block: their buffer
     # content is undefined and dbias sums over the batch dim
@@ -127,7 +128,7 @@ def _attn_bwd_kernel(
     colmask = jnp.where(col < K, 0.0, -1e9)
     def head(h, carry):
         dq, dk, dv, dbias = carry
-        m = _head_mask(h, dh, D)
+        m = _head_mask(h, dh, D).astype(q.dtype)
         qh = q * m
         s = jax.lax.dot_general(
             qh, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -145,20 +146,22 @@ def _attn_bwd_kernel(
         doh = do * m
         # dV (head dims only): P_d^T @ dO_h
         dv = dv + jax.lax.dot_general(
-            pd, doh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            pd.astype(q.dtype), doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         # dP_d = dO_h @ V^T (full-D contraction; zeros outside head dims)
         dpd = jax.lax.dot_general(
-            doh, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            doh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dp = dpd * keep if keep is not None else dpd
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dbias = dbias + jnp.sum(ds, axis=0)
-        ds = ds * scale
+        ds = (ds * scale).astype(q.dtype)
         # dQ_h = (dS @ K) masked to head dims
         dq = dq + jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * m
+        ) * m.astype(jnp.float32)
         # dK_h = (dS^T @ Q_h)
         dk = dk + jax.lax.dot_general(
             ds, qh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -267,7 +270,7 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
-              block_b: int = 64, interpret: bool = False):
+              block_b: int = 32, interpret: bool = False):
     """softmax((QK^T)/sqrt(dh) + bias) V for all heads, fused.
 
     q/k/v: (B, K, D) packed head-major (D = n_heads * dh); bias (K, K)
