@@ -1,4 +1,16 @@
-from .topk_select import dare_topk_select, recency_log_decay
-from .fm_cross import fm_cross_multihead
+from .topk_select import dare_select_ids, dare_topk_select, recency_log_decay
+from .fm_cross import fm_cross_blocked, fm_cross_multihead
+from .pallas_kernels import dare_score_pallas, fm_cross_pallas, make_pallas_score_fn
+from .pallas_attention import fused_mha
 
-__all__ = ["dare_topk_select", "recency_log_decay", "fm_cross_multihead"]
+__all__ = [
+    "dare_select_ids",
+    "dare_topk_select",
+    "recency_log_decay",
+    "fm_cross_blocked",
+    "fm_cross_multihead",
+    "dare_score_pallas",
+    "fm_cross_pallas",
+    "make_pallas_score_fn",
+    "fused_mha",
+]

@@ -232,7 +232,9 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
-    bb = min(block_b, B)
+    # backward carries 3 fp32 (Bb,Kp,D) accumulators on top of the fwd
+    # working set; halve the block to stay inside scoped VMEM
+    bb = min(max(8, block_b // 2), B)
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
