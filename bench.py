@@ -75,6 +75,7 @@ def build_cfg(args):
                 # dense m+v would not fit one chip's HBM next to the tables
                 "embedding_optimizer": args.emb_opt,
                 "rng_impl": args.rng,
+                "exact_dedup": bool(args.exact_dedup),
             },
             # EMA shadows of the two 10M-row tables would add 5.15 GB fp32
             # on top of params+grads and blow the 16 GB HBM; the reference's
@@ -114,6 +115,8 @@ def main():
     ap.add_argument("--ema-tables", action="store_true",
                     help="include the big seq tables in the EMA shadow")
     ap.add_argument("--rng", default="rbg", help="dropout PRNG impl (rbg|threefry)")
+    ap.add_argument("--exact-dedup", action="store_true",
+                    help="sorted-unique dedup before table row updates")
     ap.add_argument("--table-dtype", default="bfloat16",
                     help="seq-table storage dtype (bfloat16|float32)")
     ap.add_argument("--steps", type=int, default=20)

@@ -88,3 +88,12 @@ def test_val_weighted_weights_softmax():
     w = val_weighted_weights([0.34, 0.35, 0.33], temperature=10.0)
     assert abs(w.sum() - 1.0) < 1e-12
     assert w[1] > w[0] > w[2]
+
+
+def test_wll_jax_matches_numpy():
+    from tossctr_tpu.eval.metrics import weighted_logloss_50_50_jax
+
+    y, p = _rand(seed=7)
+    got = float(weighted_logloss_50_50_jax(y, p))
+    want = weighted_logloss_50_50(y, p)
+    assert abs(got - want) < 1e-5

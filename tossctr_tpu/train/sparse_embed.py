@@ -100,6 +100,8 @@ def rowwise_adagrad_update(
         g = g * (ids != pad_row)[:, None]
 
     if exact_dedup:
+        # dedup_rows emits ids sorted ascending with the drop sentinel at
+        # the tail: both scatter fast-path hints hold
         uids, gu = dedup_rows(ids, g, drop_index=V)
         acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
         g2 = jnp.mean(gu * gu, axis=1)  # row-wise second moment
@@ -107,8 +109,13 @@ def rowwise_adagrad_update(
         scale = lr / (jnp.sqrt(acc_new) + eps)
         rows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
         new_rows = rows * (1.0 - lr * weight_decay) - scale[:, None] * gu
-        table = table.at[uids].set(new_rows.astype(table.dtype), mode="drop")
-        accum = state.accum.at[uids].set(acc_new, mode="drop")
+        table = table.at[uids].set(
+            new_rows.astype(table.dtype), mode="drop",
+            unique_indices=True, indices_are_sorted=True,
+        )
+        accum = state.accum.at[uids].set(
+            acc_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
         return table, RowwiseAdagradState(accum=accum)
 
     # ---- no-sort scatter path ----
