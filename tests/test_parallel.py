@@ -114,3 +114,57 @@ def test_data_parallel_loss_matches_single_device():
     l1, g1 = f(w_d, x_d, y_d)
     assert abs(float(l1) - l0) < 1e-6
     assert np.allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+
+
+@pytest.mark.parametrize("model_axis", [2, 4])
+def test_a2a_lookup_matches_dense(model_axis):
+    from tossctr_tpu.parallel.embedding import sharded_embedding_lookup_a2a
+
+    mesh = build_mesh(data=8 // model_axis, model=model_axis)
+    rng = np.random.default_rng(3)
+    V, D, B, L = 64, 16, 16, 6
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    ids = rng.integers(0, V, (B, L)).astype(np.int32)
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+    )
+    out = sharded_embedding_lookup_a2a(tbl, ids_d, mesh)
+    assert np.allclose(np.asarray(out), table[ids], atol=1e-6)
+
+
+def test_a2a_lookup_gradients():
+    from tossctr_tpu.parallel.embedding import sharded_embedding_lookup_a2a
+
+    mesh = build_mesh(data=2, model=4)
+    rng = np.random.default_rng(4)
+    V, D, B, L = 32, 8, 8, 5
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    ids = rng.integers(0, V, (B, L)).astype(np.int32)
+    ids[:, 0] = ids[:, 1]  # duplicates
+    g = rng.normal(0, 1, (B, L, D)).astype(np.float32)
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+    )
+
+    gs = jax.grad(lambda t: jnp.sum(sharded_embedding_lookup_a2a(t, ids_d, mesh) * g))(tbl)
+    gd = jax.grad(lambda t: jnp.sum(jnp.take(t, jnp.asarray(ids), axis=0) * g))(
+        jnp.asarray(table)
+    )
+    assert np.allclose(np.asarray(gs), np.asarray(gd), atol=1e-5)
+
+
+def test_a2a_lookup_under_jit():
+    from tossctr_tpu.parallel.embedding import sharded_embedding_lookup_a2a
+
+    mesh = build_mesh(data=4, model=2)
+    V, D = 48, 8
+    table = np.arange(V * D, dtype=np.float32).reshape(V, D)
+    ids = np.tile(np.array([[0, 47, 23, 24]], np.int32), (8, 1))
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    ids_d = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+    )
+    out = jax.jit(lambda t, i: sharded_embedding_lookup_a2a(t, i, mesh))(tbl, ids_d)
+    assert np.allclose(np.asarray(out), table[ids])

@@ -11,9 +11,17 @@ never materialize the full table on one device.
 
 This mask-gather-psum form moves B*L*D activation bytes over ICI per
 shard, independent of the number of shards, and needs no duplicate-id
-handling.  An id-exchange (all_to_all) variant that moves only unique
-ids + their rows is the planned optimization for very long sequences;
-the psum form is the correctness baseline it will be tested against.
+handling.
+
+``sharded_embedding_lookup_a2a`` is the classic DLRM-style id-exchange:
+the batch is partitioned over BOTH mesh axes, each device buckets its
+ids by owning shard, `all_to_all` routes id buckets to their owners,
+owners gather locally, and a reverse `all_to_all` returns the rows.
+Autodiff gives the reverse exchange + local scatter-add backward for
+free.  Buckets are padded to the static worst case (every id owned by
+one shard), so the psum form usually moves fewer bytes at small model-
+axis sizes; the a2a form is the scalable shape for large meshes (real
+deployments cap bucket sizes statistically).
 """
 
 from __future__ import annotations
@@ -62,5 +70,72 @@ def sharded_embedding_lookup(
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), ids_spec),
         out_specs=out_spec,
+    )
+    return fn(table, ids)
+
+
+def _a2a_lookup(local_table, ids, *, axis_name: str, n_shards: int):
+    """Per-device body of the id-exchange lookup.
+
+    ids: (b, L) local queries.  Bucket by owner shard (padded to the
+    static worst case cap = b*L), all_to_all ids to owners, gather
+    owned rows, all_to_all the rows back, unbucket.
+    """
+    b, L = ids.shape
+    rows = local_table.shape[0]
+    n = b * L
+    flat = ids.reshape(n)
+    owner = jnp.clip(flat // rows, 0, n_shards - 1)
+
+    # stable bucket order: sort by owner; slot within the (m, n) send
+    # buffer is the rank of the id inside its bucket
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    # position of each sorted element within its owner run
+    idx = jnp.arange(n)
+    run_start = jnp.searchsorted(sorted_owner, jnp.arange(n_shards), side="left")
+    pos_in_bucket = idx - run_start[sorted_owner]
+    send_ids = jnp.zeros((n_shards, n), flat.dtype)
+    send_ids = send_ids.at[sorted_owner, pos_in_bucket].set(flat[order])
+    valid = jnp.zeros((n_shards, n), bool)
+    valid = valid.at[sorted_owner, pos_in_bucket].set(True)
+
+    # route buckets to their owners: after a2a, row r holds the ids that
+    # rank r's peers want served (tiled over the leading axis)
+    recv_ids = jax.lax.all_to_all(send_ids, axis_name, 0, 0, tiled=True)
+    recv_ids = recv_ids.reshape(n_shards, n)
+
+    # serve: gather my local rows for every requested id
+    li = jnp.clip(recv_ids - jax.lax.axis_index(axis_name) * rows, 0, rows - 1)
+    served = jnp.take(local_table, li, axis=0)  # (m, n, D)
+
+    # route the rows back to the requesters
+    back = jax.lax.all_to_all(
+        served.reshape(n_shards * n, -1), axis_name, 0, 0, tiled=True
+    ).reshape(n_shards, n, -1)
+
+    # unbucket: entry (owner[j], pos[j]) is the row for sorted query j
+    rows_sorted = back[sorted_owner, pos_in_bucket]
+    inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    out = rows_sorted[inv].reshape(b, L, -1)
+    return out
+
+
+def sharded_embedding_lookup_a2a(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """DLRM-style id-exchange lookup: table P('model', None); ids with the
+    batch dim partitioned over ('data','model') jointly (full DP)."""
+    m = mesh.shape[MODEL_AXIS]
+    if m == 1:
+        return jnp.take(table, ids, axis=0)
+    assert ids.ndim == 2, "expects (B, L) ids"
+    fn = jax.shard_map(
+        partial(_a2a_lookup, axis_name=MODEL_AXIS, n_shards=m),
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+        out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
     )
     return fn(table, ids)
