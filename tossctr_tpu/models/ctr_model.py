@@ -320,6 +320,7 @@ class CTRModel(nn.Module):
                 emb_dim=D,
                 se_batch_stats=self.se_batch_stats,
                 block_slices=sp.block_slices,
+                use_pallas=self.use_pallas_attn,  # one TPU-kernels switch
                 dtype=self.dtype,
                 name="qnn",
                 **sp.qnn,

@@ -37,6 +37,10 @@ class QNNAlpha(nn.Module):
     norm: str = "rms"
     pair_grouping: str = "all"  # all | block
     block_slices: Optional[Dict[str, Tuple[int, int]]] = None
+    # fused Pallas FM-cross (ops/pallas_kernels.py): keeps the (B,H,F,R)
+    # intermediate in VMEM; used for pair_grouping='all' (the per-block
+    # slices of 'block' mode are small enough for the jnp path)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,6 +63,10 @@ class QNNAlpha(nn.Module):
 
         if self.pair_grouping == "block" and self.block_slices:
             inter = fm_cross_blocked(z, U, V, self.block_slices)
+        elif self.use_pallas and F % 8 == 0:
+            from ..ops.pallas_kernels import fm_cross_pallas
+
+            inter = fm_cross_pallas(z, U, V)
         else:
             inter = fm_cross_multihead(z, U, V)
 

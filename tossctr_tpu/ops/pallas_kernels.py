@@ -218,6 +218,8 @@ def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
 
 def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
     interpret = _resolve_interpret(interpret)
+    # backward carries an fp32 (Bb,F,D) dz accumulator; halve the block
+    block_b = max(8, block_b // 2)
     B, F, D = z.shape
     H, _, R = U.shape
     P = V.shape[2]
@@ -248,7 +250,7 @@ def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fm_cross_pallas(z, U, V, block_b: int = 256, interpret: bool = False):
+def fm_cross_pallas(z, U, V, block_b: int = 128, interpret: bool = False):
     """Fused multi-head FM cross: z (B,F,D), U (H,D,R), V (H,R,P)
     -> (B, H*P); numerically equal to ops.fm_cross.fm_cross_multihead."""
     return _fm_fwd_call(z, U, V, block_b=block_b, interpret=interpret)
