@@ -109,7 +109,8 @@ def make_pallas_score_fn(block_b: int = 256, interpret: bool = False):
 def _fm_fwd_kernel(z_ref, u_ref, v_ref, out_ref, *, heads: int):
     z = z_ref[...]  # (Bb, F, D)
     Bb, F, D = z.shape
-    for h in range(heads):
+
+    def head(h, _):
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
         A = jax.lax.dot_general(
@@ -125,6 +126,9 @@ def _fm_fwd_kernel(z_ref, u_ref, v_ref, out_ref, *, heads: int):
             preferred_element_type=jnp.float32,
         )  # (Bb, P)
         out_ref[:, h, :] = out
+        return 0
+
+    jax.lax.fori_loop(0, heads, head, 0)
 
 
 def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
@@ -138,10 +142,11 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
     valid = row < B_total
     z = jnp.where(valid, z, 0.0)
 
-    du_acc = [None] * heads
-    dv_acc = [None] * heads
-    dz_acc = jnp.zeros((Bb, F, D), jnp.float32)
-    for h in range(heads):
+    H_, D_, R_ = u_ref.shape
+    P_ = v_ref.shape[2]
+
+    def head(h, carry):
+        dz_acc, du_new, dv_new = carry
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
         g = jnp.where(valid[:, 0, :], g_ref[:, h, :], 0.0)  # (Bb, P)
@@ -153,11 +158,11 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
         s = jnp.sum(A, axis=1)  # (Bb, R)
         quad = s * s - jnp.sum(A * A, axis=1)
         # dV: (R, P) partial = quad^T @ g
-        dv_acc[h] = jax.lax.dot_general(
+        dv_new = dv_new.at[h].set(jax.lax.dot_general(
             quad, g.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ))
         # dquad: (Bb, R) = g @ V^T
         dquad = jax.lax.dot_general(
             g.astype(jnp.float32), V.astype(jnp.float32),
@@ -173,14 +178,22 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
             preferred_element_type=jnp.float32,
         ).reshape(Bb, F, D)
         # dU: (D, R) partial = sum_b z^T dA
-        du_acc[h] = jax.lax.dot_general(
+        du_new = du_new.at[h].set(jax.lax.dot_general(
             z.reshape(Bb * F, D).astype(jnp.float32), dA.reshape(Bb * F, U.shape[1]),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ))
+        return dz_acc, du_new, dv_new
+
+    dz_acc, du_new, dv_new = jax.lax.fori_loop(
+        0, heads, head,
+        (
+            jnp.zeros((Bb, F, D), jnp.float32),
+            jnp.zeros((H_, D_, R_), jnp.float32),
+            jnp.zeros((H_, R_, P_), jnp.float32),
+        ),
+    )
     dz_ref[...] = dz_acc.astype(dz_ref.dtype)
-    du_new = jnp.stack(du_acc)
-    dv_new = jnp.stack(dv_acc)
 
     # accumulate across the sequential grid; buffers start uninitialized
     @pl.when(i == 0)
@@ -250,7 +263,7 @@ def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fm_cross_pallas(z, U, V, block_b: int = 128, interpret: bool = False):
+def fm_cross_pallas(z, U, V, block_b: int = 64, interpret: bool = False):
     """Fused multi-head FM cross: z (B,F,D), U (H,D,R), V (H,R,P)
     -> (B, H*P); numerically equal to ops.fm_cross.fm_cross_multihead."""
     return _fm_fwd_call(z, U, V, block_b=block_b, interpret=interpret)
