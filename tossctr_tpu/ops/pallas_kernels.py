@@ -142,11 +142,14 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
     valid = row < B_total
     z = jnp.where(valid, z, 0.0)
 
-    H_, D_, R_ = u_ref.shape
-    P_ = v_ref.shape[2]
+    # zero the cross-grid accumulators once; subsequent grid steps and
+    # heads accumulate into the refs directly
+    @pl.when(i == 0)
+    def _():
+        du_ref[...] = jnp.zeros(du_ref.shape, du_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
-    def head(h, carry):
-        dz_acc, du_new, dv_new = carry
+    def head(h, dz_acc):
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
         g = jnp.where(valid[:, 0, :], g_ref[:, h, :], 0.0)  # (Bb, P)
@@ -158,11 +161,11 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
         s = jnp.sum(A, axis=1)  # (Bb, R)
         quad = s * s - jnp.sum(A * A, axis=1)
         # dV: (R, P) partial = quad^T @ g
-        dv_new = dv_new.at[h].set(jax.lax.dot_general(
+        dv_ref[h] += jax.lax.dot_general(
             quad, g.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        )
         # dquad: (Bb, R) = g @ V^T
         dquad = jax.lax.dot_general(
             g.astype(jnp.float32), V.astype(jnp.float32),
@@ -178,33 +181,15 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
             preferred_element_type=jnp.float32,
         ).reshape(Bb, F, D)
         # dU: (D, R) partial = sum_b z^T dA
-        du_new = du_new.at[h].set(jax.lax.dot_general(
+        du_ref[h] += jax.lax.dot_general(
             z.reshape(Bb * F, D).astype(jnp.float32), dA.reshape(Bb * F, U.shape[1]),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
-        return dz_acc, du_new, dv_new
+        )
+        return dz_acc
 
-    dz_acc, du_new, dv_new = jax.lax.fori_loop(
-        0, heads, head,
-        (
-            jnp.zeros((Bb, F, D), jnp.float32),
-            jnp.zeros((H_, D_, R_), jnp.float32),
-            jnp.zeros((H_, R_, P_), jnp.float32),
-        ),
-    )
+    dz_acc = jax.lax.fori_loop(0, heads, head, jnp.zeros((Bb, F, D), jnp.float32))
     dz_ref[...] = dz_acc.astype(dz_ref.dtype)
-
-    # accumulate across the sequential grid; buffers start uninitialized
-    @pl.when(i == 0)
-    def _():
-        du_ref[...] = du_new
-        dv_ref[...] = dv_new
-
-    @pl.when(i != 0)
-    def _():
-        du_ref[...] += du_new
-        dv_ref[...] += dv_new
 
 
 def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
