@@ -125,7 +125,7 @@ def _fm_fwd_kernel(z_ref, u_ref, v_ref, out_ref, *, heads: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Bb, P)
-        out_ref[:, h, :] = out
+        out_ref[h] = out  # head-major output: dynamic index on batch dim
         return 0
 
     jax.lax.fori_loop(0, heads, head, 0)
@@ -152,7 +152,7 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
     def head(h, dz_acc):
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
-        g = jnp.where(valid[:, 0, :], g_ref[:, h, :], 0.0)  # (Bb, P)
+        g = jnp.where(valid[:, 0, :], g_ref[h], 0.0)  # (Bb, P), head-major input
         A = jax.lax.dot_general(
             z.reshape(Bb * F, D), U,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -207,11 +207,11 @@ def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
             pl.BlockSpec((H, D, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, R, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, H, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, P), jnp.float32),
+        out_specs=pl.BlockSpec((H, bb, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, B, P), jnp.float32),
         interpret=interpret,
     )(z, U, V)
-    return out.reshape(B, H * P).astype(z.dtype)
+    return out.transpose(1, 0, 2).reshape(B, H * P).astype(z.dtype)
 
 
 def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
@@ -230,7 +230,7 @@ def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
             pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, D, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, R, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, H, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bb, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((bb, F, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -243,7 +243,7 @@ def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
             jax.ShapeDtypeStruct((H, R, P), jnp.float32),
         ],
         interpret=interpret,
-    )(z, U, V, g.reshape(B, H, P))
+    )(z, U, V, g.reshape(B, H, P).transpose(1, 0, 2))
     return dz, dU.astype(U.dtype), dV.astype(V.dtype)
 
 
