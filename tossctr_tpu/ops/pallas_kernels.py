@@ -137,10 +137,13 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
     z = z_ref[...]  # (Bb, F, D)
     Bb, F, D = z.shape
     # sanitize out-of-range batch rows of the last block (undefined buffer
-    # content would poison the dU/dV batch sums)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Bb, 1, 1), 0) + i * Bb
-    valid = row < B_total
-    z = jnp.where(valid, z, 0.0)
+    # content would poison the dU/dV batch sums); masks are built at the
+    # full operand shapes — Mosaic mishandles broadcasting replicated
+    # singleton dims of i1 vectors
+    P_ = v_ref.shape[2]
+    zmask = (jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) + i * Bb) < B_total
+    gmask = (jax.lax.broadcasted_iota(jnp.int32, (Bb, P_), 0) + i * Bb) < B_total
+    z = jnp.where(zmask, z, 0.0)
 
     # zero the cross-grid accumulators once; subsequent grid steps and
     # heads accumulate into the refs directly
@@ -152,7 +155,7 @@ def _fm_bwd_kernel(z_ref, u_ref, v_ref, g_ref, dz_ref, du_ref, dv_ref, *,
     def head(h, dz_acc):
         U = u_ref[h]  # (D, R)
         V = v_ref[h]  # (R, P)
-        g = jnp.where(valid[:, 0, :], g_ref[h], 0.0)  # (Bb, P), head-major input
+        g = jnp.where(gmask, g_ref[h], 0.0)  # (Bb, P), head-major input
         A = jax.lax.dot_general(
             z.reshape(Bb * F, D), U,
             dimension_numbers=(((1,), (0,)), ((), ())),
