@@ -219,8 +219,9 @@ def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
 
 def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
     interpret = _resolve_interpret(interpret)
-    # backward carries an fp32 (Bb,F,D) dz accumulator; halve the block
-    block_b = max(8, block_b // 2)
+    # backward carries an fp32 (Bb,F,D) dz accumulator plus recomputed
+    # A/dA blocks; quarter the block to stay inside scoped VMEM
+    block_b = max(8, block_b // 4)
     B, F, D = z.shape
     H, _, R = U.shape
     P = V.shape[2]
