@@ -216,6 +216,9 @@ class CTRModel(nn.Module):
     sparse_topk_backward: bool = True
     sparse_tables: bool = False  # see DARE.sparse_tables
     use_pallas_attn: bool = False
+    # measured slower than the XLA einsum path at flagship shapes (the
+    # VMEM-fitting blocks are too small); available but off by default
+    use_pallas_fm: bool = False
     emb_init_std: float = 1.0
     score_fn: Optional[Any] = None
 
@@ -320,7 +323,7 @@ class CTRModel(nn.Module):
                 emb_dim=D,
                 se_batch_stats=self.se_batch_stats,
                 block_slices=sp.block_slices,
-                use_pallas=self.use_pallas_attn,  # one TPU-kernels switch
+                use_pallas=self.use_pallas_fm,
                 dtype=self.dtype,
                 name="qnn",
                 **sp.qnn,

@@ -139,6 +139,7 @@ def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
         se_batch_stats=bool(cfg.model.qnn_alpha.se_batch_stats),
         sparse_tables=is_sparse_mode(cfg),
         use_pallas_attn=bool(use_pallas),
+        use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
     )
 
 
