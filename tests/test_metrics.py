@@ -97,3 +97,14 @@ def test_wll_jax_matches_numpy():
     got = float(weighted_logloss_50_50_jax(y, p))
     want = weighted_logloss_50_50(y, p)
     assert abs(got - want) < 1e-5
+
+
+def test_final_score_device_matches_host():
+    from tossctr_tpu.eval.metrics import final_score_device
+
+    y, p = _rand(seed=9)
+    ap_h, wll_h, s_h = final_score(y, p)
+    ap_d, wll_d, s_d = final_score_device(y, p)
+    assert abs(ap_d - ap_h) < 1e-5
+    assert abs(wll_d - wll_h) < 1e-5
+    assert abs(s_d - s_h) < 1e-5

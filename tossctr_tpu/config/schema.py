@@ -187,6 +187,9 @@ class EvalConfig:
     # a loss (src/train.py:262-263, src/utils/metrics.py:26-29).  "reference"
     # reproduces that; "competition" uses 0.5*AP + 0.5*(1/(1+WLL)).
     score_formula: str = "reference"
+    # Device-side AP/WLL (sorted cumulative-precision impl) instead of
+    # host sklearn — for pod-scale validation sets (SURVEY.md §7).
+    device_metrics: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

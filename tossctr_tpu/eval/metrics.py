@@ -101,6 +101,24 @@ def average_precision_jax(y_true, y_score):
     return jnp.where(total_pos > 0, ap, 0.0)
 
 
+def final_score_device(y_true, y_prob, formula: str = "reference"):
+    """AP/WLL/Score computed fully on device (one jit program); returns
+    python floats.  Matches the host path to float tolerance."""
+    import jax
+
+    @jax.jit
+    def _compute(y, p):
+        ap = average_precision_jax(y, p)
+        wll = weighted_logloss_50_50_jax(y, p)
+        return ap, wll
+
+    ap, wll = _compute(y_true, y_prob)
+    ap, wll = float(ap), float(wll)
+    if formula == "competition":
+        return ap, wll, 0.5 * ap + 0.5 / (1.0 + wll)
+    return ap, wll, 0.5 * ap + 0.5 * wll
+
+
 def weighted_logloss_50_50_jax(y_true, y_prob, eps: float = 1e-12):
     import jax.numpy as jnp
 

@@ -434,7 +434,14 @@ def train_one_fold(
             ema_params(state.ema, state.params, ema_mask) if use_ema_eval else state.params
         )
         y_true, p_raw, z_raw = run_validation(eval_step, eval_p, va_loader)
-        ap, wll, score = final_score(y_true, p_raw, formula=cfg.eval.score_formula)
+        if cfg.eval.device_metrics:
+            from ..eval.metrics import final_score_device
+
+            ap, wll, score = final_score_device(
+                y_true, p_raw, formula=cfg.eval.score_formula
+            )
+        else:
+            ap, wll, score = final_score(y_true, p_raw, formula=cfg.eval.score_formula)
 
         cal = None
         ap_cal = wll_cal = score_cal = None
