@@ -67,3 +67,29 @@ def test_reference_configs_load_unchanged():
         assert cfg.sequence.top_k > 0
         loaded += 1
     assert loaded >= 10
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG_DIR), reason="reference configs not mounted")
+def test_reference_configs_build_model_specs():
+    """Beyond parsing: every reference experiment config must resolve into
+    a valid ModelSpec (cat grouping, block slices, qnn wiring)."""
+    from tossctr_tpu.models import build_model_spec
+
+    paths = sorted(glob.glob(os.path.join(REF_CFG_DIR, "*.yaml")))
+    built = 0
+    for p in paths:
+        if "column_suggestions" in p:
+            continue
+        cfg = load_config(p)
+        dims = {"X_num": 81, "X_mask": 81, "X_cat": len(cfg.data.cat_cols),
+                "seq_len": cfg.sequence.max_len}
+        spec = build_model_spec(cfg, dims)
+        assert spec.n_feat == 1 + 81 + 81 + len(cfg.data.cat_cols)
+        assert sum(len(g.cols) for g in spec.cat_groups) == len(cfg.data.cat_cols)
+        # block slices tile the feature range exactly
+        ends = sorted(e for _, e in spec.block_slices.values())
+        assert ends[-1] == spec.n_feat
+        if spec.query_mode in ("S1", "concat"):
+            assert spec.query_key in spec.cat_cols
+        built += 1
+    assert built >= 10
