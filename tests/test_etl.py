@@ -169,3 +169,72 @@ def test_remove_cols_respected(tmp_path):
         p, None, "seq", [], ["feat_*"], "g", "median", remove_cols=["feat_x_2"]
     )
     assert s["num_cols"] == ["feat_x_1"]
+
+
+def test_hash_buckets_margin_in_cache(tmp_path):
+    """hash_buckets_margin widens every bucket (reference
+    build_cache_v1.py:127, train.py:119)."""
+    t = pa.table(
+        {
+            "c1": pa.array([str(i % 7) for i in range(100)]),
+            "seq": pa.array(["1,2"] * 100),
+            "clicked": pa.array([0, 1] * 50),
+        }
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    man = build_sharded_cache(
+        p, str(tmp_path / "cache"), is_train=True, target_col="clicked",
+        seq_col="seq", cat_cols=["c1"], hash_buckets={"c1": 10},
+        hash_buckets_margin=500, num_patterns=[], max_len=4, pad_id=0,
+        group_key="c1", shard_rows=1000,
+    )
+    with open(man) as f:
+        m = json.load(f)
+    X_cat = np.load(m["shards"][0]["X_cat"]["path"])
+    assert X_cat.max() < 510  # 10 + 500
+
+
+def test_remove_cols_in_cache_build(tmp_path):
+    t = pa.table(
+        {
+            "feat_x_1": pa.array([1.0] * 10),
+            "feat_x_2": pa.array([2.0] * 10),
+            "seq": pa.array(["3"] * 10),
+            "clicked": pa.array([0] * 5 + [1] * 5),
+        }
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    man = build_sharded_cache(
+        p, str(tmp_path / "cache"), is_train=True, target_col="clicked",
+        seq_col="seq", cat_cols=[], hash_buckets={}, hash_buckets_margin=0,
+        num_patterns=["feat_*"], max_len=4, pad_id=0, group_key="g",
+        shard_rows=100, remove_cols=["feat_x_2"],
+    )
+    with open(man) as f:
+        m = json.load(f)
+    assert m["num_cols"] == ["feat_x_1"]
+    assert np.load(m["shards"][0]["X_num"]["path"]).shape == (10, 1)
+
+
+def test_missing_cat_column_zero_filled(tmp_path):
+    """Configured cat column absent from the parquet -> zeros
+    (reference build_cache_v1.py:131-132)."""
+    t = pa.table(
+        {
+            "seq": pa.array(["1"] * 6),
+            "clicked": pa.array([0, 1] * 3),
+        }
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    man = build_sharded_cache(
+        p, str(tmp_path / "cache"), is_train=True, target_col="clicked",
+        seq_col="seq", cat_cols=["ghost"], hash_buckets={}, hash_buckets_margin=0,
+        num_patterns=[], max_len=4, pad_id=0, group_key="g", shard_rows=100,
+    )
+    with open(man) as f:
+        m = json.load(f)
+    X_cat = np.load(m["shards"][0]["X_cat"]["path"])
+    assert (X_cat == 0).all()
