@@ -199,12 +199,19 @@ def _pad_kdim(x, Kp):
     return jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)))
 
 
+def _adaptive_block(block_b: int, B: int, Kp: int) -> int:
+    """Per-head working set scales with Kp^2; shrink the batch block so
+    the (bb, Kp, Kp) softmax tensors stay inside scoped VMEM."""
+    cap = max(8, (2048 * 64 // max(Kp, 1) // Kp) // 8 * 8)
+    return max(1, min(block_b, B, cap))
+
+
 def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
     interpret = _resolve_interpret(interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
-    bb = min(block_b, B)
+    bb = _adaptive_block(block_b, B, Kp)
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     grid = (_cdiv(B, bb),)
@@ -234,7 +241,7 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
     Kp = _round_up(K, 8)
     # backward carries 3 fp32 (Bb,Kp,D) accumulators on top of the fwd
     # working set; halve the block to stay inside scoped VMEM
-    bb = min(max(8, block_b // 2), B)
+    bb = max(1, _adaptive_block(block_b, B, Kp) // 2)
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
