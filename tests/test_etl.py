@@ -37,12 +37,31 @@ def test_tokenize_right_aligned():
     assert out[4].tolist() == [5, 6, 7, 8]
 
 
+def test_tokenize_empty_tokens_filtered_before_alignment():
+    """Mid-string/trailing empty tokens: the reference filters `if x`
+    per token BEFORE the [-max_len:] slice (build_cache_v1.py:153), so
+    '1,,2' right-aligns as [1,2] and empties never consume keep slots."""
+    s = np.array(["1,,2", "5,7,", ",3", ",,9,,", "1,2,,3,4,5"], dtype=object)
+    out = tokenize_sequences(s, max_len=4, pad_id=0)
+    assert out[0].tolist() == [0, 0, 1, 2]
+    assert out[1].tolist() == [0, 0, 5, 7]
+    assert out[2].tolist() == [0, 0, 0, 3]
+    assert out[3].tolist() == [0, 0, 0, 9]
+    # 5 valid tokens, window keeps the last 4 VALID ones
+    assert out[4].tolist() == [2, 3, 4, 5]
+
+
 def test_tokenize_matches_reference_scalar_loop():
     rng = np.random.default_rng(0)
     strs = []
     for _ in range(200):
         L = rng.integers(0, 30)
-        strs.append(",".join(str(int(t)) for t in rng.integers(1, 999, L)))
+        toks = [str(int(t)) for t in rng.integers(1, 999, L)]
+        # sprinkle empty tokens (double/trailing/leading commas)
+        for j in range(len(toks)):
+            if rng.random() < 0.1:
+                toks[j] = ""
+        strs.append(",".join(toks))
     strs = np.array(strs, dtype=object)
     max_len = 12
     got = tokenize_sequences(strs, max_len, pad_id=0)

@@ -108,3 +108,27 @@ def test_final_score_device_matches_host():
     assert abs(ap_d - ap_h) < 1e-5
     assert abs(wll_d - wll_h) < 1e-5
     assert abs(s_d - s_h) < 1e-5
+
+
+def test_device_metrics_sanitize_nonfinite_like_host():
+    """NaN/inf predictions: device AP/WLL must apply the same
+    nan_to_num(0.5)/clip sanitation as the host path (ADVICE r1)."""
+    from tossctr_tpu.eval.metrics import final_score_device
+
+    y, p = _rand(seed=11)
+    p = np.asarray(p, np.float64).copy()
+    p[::17] = np.nan
+    p[3::23] = np.inf
+    p[5::29] = -np.inf
+    ap_h, wll_h, s_h = final_score(y, p)
+    ap_d, wll_d, s_d = final_score_device(y, np.asarray(p, np.float32))
+    assert abs(ap_d - ap_h) < 1e-5
+    assert np.isfinite(wll_d)
+    # WLL: the device f32 path clips at 1e-7 (1-1e-12 rounds to 1.0 in
+    # f32); compare against the host metric at the same floor
+    from tossctr_tpu.eval.metrics import weighted_logloss_50_50
+
+    wll_h7 = weighted_logloss_50_50(y, p, eps=1e-7)
+    # f32 rounds 1-1e-7 to ~1-1.19e-7, so clipped entries' -log differs
+    # slightly from the f64 host; sanitation semantics is what's tested
+    assert abs(wll_d - wll_h7) < 1e-2

@@ -1,12 +1,40 @@
-"""Fused MHA kernel vs the jnp oracle (interpret mode, no dropout —
-in-kernel PRNG dropout is exercised on real TPU by bench tooling)."""
+"""Fused MHA kernel vs the jnp oracle (interpret mode).
+
+Dropout uses a counter-based hash of absolute coordinates, so the mask
+is reproducible in numpy (``dropout_keep_reference``) and the dropout
+path — forward AND gradients — is testable exactly on CPU."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tossctr_tpu.ops.pallas_attention import fused_mha, mha_reference
+from tossctr_tpu.ops.pallas_attention import (
+    dropout_keep_reference,
+    fused_mha,
+    mha_reference,
+)
+
+
+def mha_reference_dropout(q, k, v, bias, n_heads: int, p: float, seed: int):
+    """jnp oracle applying the kernel's exact keep-mask to the attention
+    probabilities (torch nn.MultiheadAttention dropout semantics)."""
+    B, K, D = q.shape
+    dh = D // n_heads
+
+    def heads(t):
+        return t.reshape(B, K, n_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(dh)
+    logits = logits + bias[None, None]
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    keep = jnp.asarray(
+        dropout_keep_reference(B, K, K, n_heads, p, seed).transpose(1, 0, 2, 3)
+    )  # (B, H, K, K)
+    w = (w * keep).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, K, D)
 
 
 def _data(B=8, K=12, D=16, seed=0):
@@ -58,6 +86,59 @@ def test_fused_mha_partial_batch_block():
     got = np.asarray(fused_mha(q, k, v, bias, seed, 4, 0.0, 4, True))
     want = np.asarray(mha_reference(q, k, v, bias, 4))
     assert np.allclose(got, want, atol=2e-4)
+
+
+def test_fused_mha_dropout_forward_matches_masked_reference():
+    q, k, v, bias, _ = _data(B=10, K=12, D=16)
+    seed = jnp.asarray([1234], jnp.int32)
+    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.3, 4, True))
+    want = np.asarray(mha_reference_dropout(q, k, v, bias, 2, 0.3, 1234))
+    assert np.allclose(got, want, atol=5e-4), np.abs(got - want).max()
+    # mask actually drops something and rescales
+    nodrop = np.asarray(mha_reference(q, k, v, bias, 2))
+    assert not np.allclose(got, nodrop, atol=1e-3)
+
+
+def test_fused_mha_dropout_gradients_match_masked_reference():
+    """The ADVICE-high regression test: backward runs with a DIFFERENT
+    batch block than forward, and must still regenerate the identical
+    dropout mask — gradients must equal autodiff through the
+    mask-applied jnp reference."""
+    q, k, v, bias, _ = _data(B=10, K=12, D=16)
+    seed = jnp.asarray([77], jnp.int32)
+    g_out = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (10, 12, 16)).astype(np.float32)
+    )
+
+    def loss_pallas(q, k, v, bias):
+        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.25, 8, True) * g_out)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(mha_reference_dropout(q, k, v, bias, 2, 0.25, 77) * g_out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(gp, gr, ["dq", "dk", "dv", "dbias"]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), (
+            name, np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
+
+
+def test_fused_mha_dropout_block_size_invariance():
+    """Output and grads must not depend on the batch-block choice."""
+    q, k, v, bias, _ = _data(B=8, K=10, D=16)
+    seed = jnp.asarray([5], jnp.int32)
+
+    outs, grads = [], []
+    for bb in (2, 8):
+        def loss(q, k, v):
+            return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.4, bb, True) ** 2)
+
+        outs.append(np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.4, bb, True)))
+        grads.append(jax.grad(loss, argnums=(0, 1, 2))(q, k, v))
+    assert np.allclose(outs[0], outs[1], atol=1e-5)
+    for a, b in zip(grads[0], grads[1]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_layer_param_tree_identical_and_outputs_match():

@@ -19,7 +19,9 @@ def test_dedup_rows_sums_duplicates():
     uids = np.asarray(uids)
     gu = np.asarray(gu)
     want = {2: g[1] + g[4], 5: g[0] + g[2] + g[5], 9: g[3]}
-    real = uids != 100
+    # padding slots carry distinct out-of-range ids >= drop_index (so the
+    # scatter's unique_indices promise holds literally)
+    real = uids < 100
     assert sorted(uids[real].tolist()) == [2, 5, 9]
     for u, row in zip(uids[real], gu[real]):
         assert np.allclose(row, np.asarray(want[int(u)]))

@@ -126,17 +126,22 @@ def tokenize_sequences(
     flat = parts.values.to_numpy(zero_copy_only=False)  # all tokens, row-major
     offsets = parts.offsets.to_numpy().astype(np.int64)
     lens = np.diff(offsets)
-    # token -> owning row and position within the row
+    # token -> owning row
     row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-    pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    # valid tokens: non-empty strings (an empty cell splits to [""])
+    # Filter empty tokens BEFORE alignment (reference does per-token
+    # `if x`, build_cache_v1.py:153): a mid-string empty token ("1,,2")
+    # or trailing comma must not shift the right-alignment or displace
+    # valid tokens from the keep window.  Rank every token among its
+    # row's *non-empty* tokens via a global cumsum.
     nonempty = flat != ""
-    # keep only the last max_len *valid* tokens per row.  Empty tokens can
-    # only arise from fully-empty cells here (reference filters `if x`),
-    # so position-in-row of valid tokens equals pos_in_row.
-    keep_from = lens - max_len  # first kept position per row (may be <0)
-    kept = nonempty & (pos_in_row >= np.repeat(keep_from, lens))
-    col = max_len - (np.repeat(lens, lens) - pos_in_row)
+    cs = np.cumsum(nonempty)
+    cse = np.concatenate([np.zeros(1, np.int64), cs])
+    vcount = cse[offsets[1:]] - cse[offsets[:-1]]  # valid tokens per row
+    rank = cs - 1 - np.repeat(cse[offsets[:-1]], lens)  # 0-based valid rank
+    vc_rep = np.repeat(vcount, lens)
+    # keep the last max_len valid tokens; right-align on valid count
+    kept = nonempty & (rank >= vc_rep - max_len)
+    col = max_len - (vc_rep - rank)
     r, c = row_of[kept], col[kept]
     vals = flat[kept]
     if vals.size:

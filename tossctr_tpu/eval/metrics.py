@@ -79,7 +79,15 @@ def average_precision_jax(y_true, y_score):
     import jax.numpy as jnp
 
     y_true = jnp.asarray(y_true, jnp.float32).ravel()
-    y_score = jnp.asarray(y_score, jnp.float32).ravel()
+    # same sanitation as the host path (ap_score): NaN -> 0.5, ±inf
+    # clipped, so device metrics can't diverge on non-finite predictions
+    y_score = jnp.clip(
+        jnp.nan_to_num(
+            jnp.asarray(y_score, jnp.float32), nan=0.5, posinf=1.0, neginf=0.0
+        ),
+        0.0,
+        1.0,
+    ).ravel()
     n = y_true.shape[0]
     order = jnp.argsort(-y_score)
     ys = y_true[order]
@@ -120,10 +128,17 @@ def final_score_device(y_true, y_prob, formula: str = "reference"):
 
 
 def weighted_logloss_50_50_jax(y_true, y_prob, eps: float = 1e-12):
+    """Device WLL.  Runs in float32 (TPU), so the clip floor saturates at
+    1e-7 — the host path's 1e-12 is not representable next to 1.0 in
+    f32; predictions that extreme only arise from non-finite inputs."""
     import jax.numpy as jnp
 
     y = jnp.asarray(y_true, jnp.float32).ravel()
-    p = jnp.clip(jnp.nan_to_num(jnp.asarray(y_prob), nan=0.5), eps, 1 - eps).ravel()
+    eps32 = max(float(eps), 1e-7)
+    p = jnp.nan_to_num(
+        jnp.asarray(y_prob, jnp.float32), nan=0.5, posinf=1.0, neginf=0.0
+    )
+    p = jnp.clip(p, eps32, 1.0 - eps32).ravel()
     pos = y == 1
     npos = jnp.maximum(jnp.sum(pos), 1)
     nneg = jnp.maximum(jnp.sum(~pos), 1)

@@ -15,8 +15,11 @@ outside the head's dims contribute nothing), and O accumulates
 matmuls and avoids every reshape/transpose across the lane dimension.
 
 Attention-probability dropout (torch nn.MultiheadAttention semantics)
-runs in-kernel with the TPU PRNG; the backward kernel reseeds with the
-same (seed, block, head) tuple to regenerate the identical mask.
+runs in-kernel with a counter-based hash of the absolute
+(row, query, key, head, seed) coordinates — NOT the stateful TPU PRNG —
+so the backward kernel regenerates the bitwise-identical keep-mask even
+though it runs with a different batch-block size, and the mask is
+reproducible in pure numpy for testing (tests/test_pallas_attention.py).
 
 The head-averaged additive bias quirk (dare.py:56-60) is an explicit
 (K, K) input shared by all heads; its gradient accumulates across the
@@ -58,12 +61,62 @@ def _head_mask(h, dh: int, D: int):
     return ((d_idx >= h * dh) & (d_idx < (h + 1) * dh)).astype(jnp.float32)
 
 
-def _dropout_keep(shape, p: float, seed, salt: int):
-    """Regenerable keep-mask scaled by 1/(1-p)."""
-    pltpu.prng_seed(seed + salt)
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    threshold = np.uint32(int(p * (2**32)))
-    keep = (bits >= threshold).astype(jnp.float32)
+# murmur3-style finalizer constants (public-domain avalanche mix)
+_MIX_R = np.uint32(0x9E3779B1)
+_MIX_Q = np.uint32(0x85EBCA77)
+_MIX_K = np.uint32(0xC2B2AE3D)
+_MIX_H = np.uint32(0x27D4EB2F)
+_MIX_S = np.uint32(0x165667B1)
+_FMIX_C1 = np.uint32(0x7FEB352D)
+_FMIX_C2 = np.uint32(0x846CA68B)
+
+
+def _fmix32(x):
+    x = x ^ (x >> 16)
+    x = x * _FMIX_C1
+    x = x ^ (x >> 15)
+    x = x * _FMIX_C2
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_keep(shape, p: float, seed, head, row0):
+    """Keep-mask scaled by 1/(1-p), a pure function of the absolute
+    (row, q, k, head, seed) coordinates: block-size independent, so the
+    forward and backward kernels regenerate the identical mask despite
+    different batch blockings.  ``row0`` = this block's first global row."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0.astype(jnp.uint32)
+    qi = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    kj = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    x = (
+        r * _MIX_R
+        + qi * _MIX_Q
+        + kj * _MIX_K
+        + head.astype(jnp.uint32) * _MIX_H
+        + seed.astype(jnp.uint32) * _MIX_S
+    )
+    x = _fmix32(x)
+    keep = (x >= np.uint32(int(p * (2**32)))).astype(jnp.float32)
+    return keep / (1.0 - p)
+
+
+def dropout_keep_reference(B: int, Kq: int, Kk: int, n_heads: int, p: float, seed: int):
+    """Numpy oracle of the in-kernel mask -> (H, B, Kq, Kk) scaled keep."""
+    r = np.arange(B, dtype=np.uint32)[None, :, None, None]
+    qi = np.arange(Kq, dtype=np.uint32)[None, None, :, None]
+    kj = np.arange(Kk, dtype=np.uint32)[None, None, None, :]
+    h = np.arange(n_heads, dtype=np.uint32)[:, None, None, None]
+    with np.errstate(over="ignore"):
+        x = (
+            r * _MIX_R + qi * _MIX_Q + kj * _MIX_K + h * _MIX_H
+            + np.uint32(np.int64(seed) & 0xFFFFFFFF) * _MIX_S
+        )
+        x = x ^ (x >> np.uint32(16))
+        x = x * _FMIX_C1
+        x = x ^ (x >> np.uint32(15))
+        x = x * _FMIX_C2
+        x = x ^ (x >> np.uint32(16))
+    keep = (x >= np.uint32(int(p * (2**32)))).astype(np.float32)
     return keep / (1.0 - p)
 
 
@@ -92,7 +145,7 @@ def _attn_fwd_kernel(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if dropout_p > 0.0:
-            p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
+            p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
         vh = v * _head_mask(h, dh, D).astype(v.dtype)
         return o + jax.lax.dot_general(
             p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
@@ -138,7 +191,7 @@ def _attn_bwd_kernel(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if dropout_p > 0.0:
-            keep = _dropout_keep(p.shape, dropout_p, seed_ref[0], i * 131 + h * 7)
+            keep = _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
             pd = p * keep
         else:
             keep = None

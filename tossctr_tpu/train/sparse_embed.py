@@ -61,7 +61,12 @@ def dedup_rows(
     )
     n_unique = jnp.sum(first)
     valid = jnp.arange(n) < n_unique
-    uids = jnp.where(valid, uid, drop_index).astype(jnp.int32)
+    # padding slots get DISTINCT ascending out-of-range ids
+    # (drop_index + k) so the downstream scatter's unique_indices /
+    # indices_are_sorted promises hold literally — a repeated sentinel
+    # would violate the uniqueness contract (undefined per JAX docs)
+    # even though those entries are dropped.
+    uids = jnp.where(valid, uid, drop_index + jnp.arange(n)).astype(jnp.int32)
     return uids, g_uniq
 
 
