@@ -168,3 +168,46 @@ def test_a2a_lookup_under_jit():
     )
     out = jax.jit(lambda t, i: sharded_embedding_lookup_a2a(t, i, mesh))(tbl, ids_d)
     assert np.allclose(np.asarray(out), table[ids])
+
+
+@pytest.mark.parametrize("model_axis", [2, 4])
+@pytest.mark.parametrize("exact", [False, True], ids=["scatter", "dedup"])
+def test_sharded_rowwise_adagrad_matches_unsharded(model_axis, exact):
+    """Owner-masked local update on a P('model',None) table must equal
+    the plain single-device rowwise_adagrad_update exactly."""
+    from tossctr_tpu.parallel.embedding import sharded_rowwise_adagrad_update
+    from tossctr_tpu.train.sparse_embed import (
+        RowwiseAdagradState,
+        rowwise_adagrad_update,
+    )
+
+    mesh = build_mesh(data=8 // model_axis, model=model_axis)
+    rng = np.random.default_rng(7)
+    V, D, B, K = 64, 8, 8, 6
+    table = rng.normal(0, 1, (V, D)).astype(np.float32)
+    accum = np.abs(rng.normal(0, 1, (V,))).astype(np.float32)
+    ids = rng.integers(0, V, (B, K)).astype(np.int32)
+    ids[:, 0] = ids[:, 1]  # duplicates
+    ids[0, :2] = 0  # pad hits
+    g = rng.normal(0, 1, (B, K, D)).astype(np.float32)
+
+    want_t, want_st = rowwise_adagrad_update(
+        jnp.asarray(table), RowwiseAdagradState(jnp.asarray(accum)),
+        jnp.asarray(ids).reshape(-1), jnp.asarray(g).reshape(-1, D),
+        lr=0.1, weight_decay=0.01, pad_row=0, exact_dedup=exact,
+    )
+
+    tbl = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    acc = jax.device_put(jnp.asarray(accum), NamedSharding(mesh, P(MODEL_AXIS)))
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(DATA_AXIS, None)))
+    g_d = jax.device_put(jnp.asarray(g), NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    got_t, got_acc = sharded_rowwise_adagrad_update(
+        tbl, acc, ids_d, g_d, mesh,
+        lr=0.1, weight_decay=0.01, pad_row=0, exact_dedup=exact,
+    )
+    assert np.allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-6), (
+        np.abs(np.asarray(got_t) - np.asarray(want_t)).max()
+    )
+    assert np.allclose(np.asarray(got_acc), np.asarray(want_st.accum), atol=1e-6)
+    # still row-sharded on the way out
+    assert got_t.sharding.spec == P(MODEL_AXIS, None)

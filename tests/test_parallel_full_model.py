@@ -65,7 +65,7 @@ def _run(n_devices, model_axis, sparse, batches):
         "X_cat": len(cfg.data.cat_cols),
         "seq_len": cfg.sequence.max_len,
     }
-    model = build_model(cfg, dims)
+    model = build_model(cfg, dims, mesh=mesh)
     tx, schedule = make_optimizer(cfg, steps_per_epoch=10)
     sample = {k: v for k, v in batches[0].items() if k != "y"}
     state, ema_mask, s_sh, _ = setup_sharded_state(
@@ -73,7 +73,7 @@ def _run(n_devices, model_axis, sparse, batches):
     )
     step = make_train_step(
         model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask,
-        schedule=schedule, state_sharding=s_sh,
+        schedule=schedule, state_sharding=s_sh, mesh=mesh,
     )
     bshard = batch_sharding(mesh)
     losses = []

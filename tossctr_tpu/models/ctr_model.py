@@ -221,6 +221,8 @@ class CTRModel(nn.Module):
     use_pallas_fm: bool = False
     emb_init_std: float = 1.0
     score_fn: Optional[Any] = None
+    # explicit sharded-lookup hook for the two DARE tables (see DARE)
+    lookup_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
@@ -305,6 +307,7 @@ class CTRModel(nn.Module):
             table_dtype=table_dtype,
             dtype=self.dtype,
             score_fn=self.score_fn,
+            lookup_fn=self.lookup_fn,
             name="dare",
         )(seq, query, deterministic=deterministic)
 

@@ -56,6 +56,10 @@ class DARE(nn.Module):
     use_pallas_attn: bool = False
     dtype: Any = jnp.float32
     score_fn: Optional[Any] = None  # pallas scoring kernel hook
+    # lookup_fn(table, ids) -> rows: replaces plain jnp.take for table
+    # reads, e.g. the explicit row-sharded exchange over the 'model'
+    # mesh axis (parallel/embedding.sharded_embedding_lookup)
+    lookup_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, seq_ids, query_vec, deterministic: bool = True):
@@ -73,10 +77,13 @@ class DARE(nn.Module):
             self.table_dtype,
         )
         query = query_vec.astype(self.dtype)
+        take = self.lookup_fn if self.lookup_fn is not None else (
+            lambda t, i: jnp.take(t, i, axis=0)
+        )
         idx, sel_ids, log_decay = dare_select_ids(
             emb_att, seq_ids, query,
             top_k=self.top_k, tau=self.recency_tau, pad_id=self.pad_id,
-            score_fn=self.score_fn,
+            score_fn=self.score_fn, lookup_fn=self.lookup_fn,
         )
         self.sow("intermediates", "sel_ids", sel_ids)
 
@@ -84,11 +91,11 @@ class DARE(nn.Module):
         rep_tbl = jax.lax.stop_gradient(emb_rep) if self.sparse_tables else emb_rep
         sel_nonpad = (sel_ids != self.pad_id).astype(self.dtype)[..., None]
         # perturb(): identity whose cotangent is the gathered rows' gradient
-        att_sel = jnp.take(att_tbl, sel_ids, axis=0).astype(self.dtype) * sel_nonpad
+        att_sel = take(att_tbl, sel_ids).astype(self.dtype) * sel_nonpad
         att_sel = self.perturb("att_rows", att_sel)
         vals = jnp.einsum("bkd,bd->bk", att_sel, query) + jnp.take(log_decay, idx)
         vals = jnp.where(sel_ids == self.pad_id, jnp.asarray(-1e9, self.dtype), vals)
-        sel_rep = jnp.take(rep_tbl, sel_ids, axis=0).astype(self.dtype) * sel_nonpad
+        sel_rep = take(rep_tbl, sel_ids).astype(self.dtype) * sel_nonpad
         sel_rep = self.perturb("rep_rows", sel_rep)
 
         x = sel_rep

@@ -58,13 +58,18 @@ def dare_select_ids(
     tau: float,
     pad_id: int = 0,
     score_fn=None,
+    lookup_fn=None,
 ):
     """Selection phase only, entirely under stop_gradient:
     -> (idx (B,K) positions into L, sel_ids (B,K) token ids, log_decay (L,)).
 
     The indices are not differentiable, so running the full-L scoring
     pass without autodiff costs nothing in fidelity and keeps the
-    (B,L,D) gather out of the backward graph (SURVEY.md §2.5)."""
+    (B,L,D) gather out of the backward graph (SURVEY.md §2.5).
+
+    ``lookup_fn(table, ids) -> rows`` optionally replaces the plain
+    gather (e.g. the explicit row-sharded exchange,
+    parallel/embedding.py) and is ignored when ``score_fn`` is given."""
     B, L = seq_ids.shape
     K = min(top_k, L)
     cdt = query.dtype
@@ -74,7 +79,10 @@ def dare_select_ids(
     if score_fn is not None:
         scores = score_fn(sg_table, seq_ids, sg_query, log_decay, pad_id)
     else:
-        att = jnp.take(sg_table, seq_ids, axis=0).astype(cdt)
+        take = lookup_fn if lookup_fn is not None else (
+            lambda t, i: jnp.take(t, i, axis=0)
+        )
+        att = take(sg_table, seq_ids).astype(cdt)
         att = att * (seq_ids != pad_id)[..., None].astype(cdt)
         scores = _scores(att, sg_query, seq_ids, log_decay, pad_id)
     _, idx = jax.lax.top_k(scores, K)

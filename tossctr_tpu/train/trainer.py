@@ -128,11 +128,29 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
     return tx, schedule
 
 
-def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
+def use_explicit_exchange(cfg: Config, mesh) -> bool:
+    """Explicit shard_map exchange for the DARE tables: on whenever the
+    model axis is active and the vocab divides it (otherwise the tables
+    fall back to replication / XLA auto-partitioning)."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return False
+    if cfg.mesh.embedding_sharding != "row":
+        return False
+    if int(cfg.model.seq_vocab) % mesh.shape["model"]:
+        return False
+    return bool(cfg.mesh.extra.get("explicit_exchange", True))
+
+
+def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
     spec = build_model_spec(cfg, dims)
     use_pallas = cfg.model.use_pallas_attention
     if use_pallas is None:  # auto: fused kernel on TPU backends only
         use_pallas = jax.default_backend() == "tpu"
+    lookup_fn = None
+    if use_explicit_exchange(cfg, mesh):
+        from ..parallel.embedding import sharded_embedding_lookup
+
+        lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
     return CTRModel(
         spec=spec,
         dtype=cfg.compute_dtype,
@@ -140,6 +158,7 @@ def build_model(cfg: Config, dims: Dict[str, int]) -> CTRModel:
         sparse_tables=is_sparse_mode(cfg),
         use_pallas_attn=bool(use_pallas),
         use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
+        lookup_fn=lookup_fn,
     )
 
 
@@ -215,7 +234,7 @@ def setup_sharded_state(cfg: Config, model: CTRModel, tx, sample, init_key, mesh
 
 
 def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
-                    schedule=None, state_sharding=None):
+                    schedule=None, state_sharding=None, mesh=None):
     aux_w = float(cfg.model.qnn_alpha.aux_head_weight)
     ema_cfg = cfg.ema
     loss_cfg = cfg.loss or {}
@@ -290,12 +309,16 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         return train_step
 
     # ---- sparse-table mode ----
-    from .sparse_embed import rowwise_adagrad_update, sparse_sgd_update
+    from .sparse_embed import RowwiseAdagradState, rowwise_adagrad_update, sparse_sgd_update
 
     K = min(cfg.sequence.top_k, cfg.sequence.max_len)
     D = cfg.model.emb_dim
     cdt = cfg.compute_dtype
     exact_dedup = bool(cfg.train.extra.get("exact_dedup", False))
+    # explicit owner-masked update on the local table shard (composes
+    # with the sharded lookup; parallel/embedding.py) when the model
+    # axis is active — results equal the unsharded update exactly
+    explicit = use_explicit_exchange(cfg, mesh) and emb_opt == "rowwise_adagrad"
 
     @_jit
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
@@ -344,7 +367,16 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         table_opt = dict(state.table_opt)
         new_tables = {}
         for name, g_rows in (("emb_att", g_att), ("emb_rep", g_rep)):
-            if emb_opt == "rowwise_adagrad":
+            if explicit:
+                from ..parallel.embedding import sharded_rowwise_adagrad_update
+
+                new_tables[name], acc = sharded_rowwise_adagrad_update(
+                    tables[name], table_opt[name].accum, sel_ids, g_rows,
+                    mesh, lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                    exact_dedup=exact_dedup,
+                )
+                table_opt[name] = RowwiseAdagradState(accum=acc)
+            elif emb_opt == "rowwise_adagrad":
                 new_tables[name], table_opt[name] = rowwise_adagrad_update(
                     tables[name], table_opt[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
@@ -444,7 +476,7 @@ def train_one_fold(
         cache, idx_va, batch_size=t.batch_size, train=True, shuffle=False, drop_last=False
     )
 
-    model = build_model(cfg, cache.dims)
+    model = build_model(cfg, cache.dims, mesh=mesh)
     steps_per_epoch = len(tr_loader)
     tx, schedule = make_optimizer(cfg, steps_per_epoch)
 
@@ -457,7 +489,7 @@ def train_one_fold(
     step_key = make_base_key(cfg, cfg.seed + 7919 * fold)
     train_step = make_train_step(
         model, tx, cfg, step_key, ema_mask=ema_mask, schedule=schedule,
-        state_sharding=s_sh,
+        state_sharding=s_sh, mesh=mesh,
     )
     eval_step = make_eval_step(model)
 
