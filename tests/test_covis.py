@@ -130,3 +130,24 @@ def test_oof_leakage_guard(covis_out):
     # fold sizes all nonzero (round robin over hashed groups)
     assert len(np.unique(folds)) == cfg.n_folds
     assert len(oof) == len(folds)
+
+
+def test_streaming_batch_size_invariance(covis_out, tmp_path):
+    """Pass 3 re-scans the parquet instead of caching exploded tokens
+    (peak memory O(stream_batch_rows)); the output must not depend on the
+    stream batch size."""
+    root, paths, cfg, out = covis_out
+    import dataclasses
+
+    big = dataclasses.replace(
+        cfg, stream_batch_rows=1_000_000, out_dir=str(tmp_path / "covis_big")
+    )
+    out_big = build_covis_features(paths["train"], paths["test"], big)
+    for k in ("oof", "test"):
+        a = pd.read_parquet(out[k])
+        b = pd.read_parquet(out_big[k])
+        assert list(a.columns) == list(b.columns)
+        key = "rid" if k == "oof" else "ID"
+        av = a.drop(columns=key).to_numpy(np.float64)
+        bv = b.drop(columns=key).to_numpy(np.float64)
+        assert np.allclose(av, bv, atol=1e-6), k

@@ -263,36 +263,44 @@ def build_covis_features(
         groups = hash_group_ids(gcol)
     folds = make_folds(groups, cfg.n_folds)
 
+    def scan_exploded():
+        """Stream (rid0, n, row_of, token, w, tbv, {target: values}, y)
+        batch by batch.  Called once per pass — peak memory stays
+        O(stream_batch_rows); nothing exploded is retained across batches
+        (the reference kept lazy Polars scans for the same reason,
+        covis.py:154-211)."""
+        rid0 = 0
+        for rb in dataset.scanner(
+            columns=cols, batch_size=cfg.stream_batch_rows
+        ).to_batches():
+            n = rb.num_rows
+            seq = rb.column(cols.index(cfg.seq_col)).to_numpy(zero_copy_only=False)
+            y = np.nan_to_num(
+                rb.column(cols.index(cfg.target_col))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            row_of, token, w = _explode_tokens(seq, cfg.seq_top_k, cfg.recency_tau)
+            tbv = None
+            if cfg.time_bin:
+                tb_col = rb.column(cols.index(cfg.time_bin)).to_numpy(zero_copy_only=False)
+                tbv = np.asarray(tb_col)[row_of]
+            tvals = {
+                t: np.asarray(rb.column(cols.index(t)).to_numpy(zero_copy_only=False))
+                for t in cfg.targets
+            }
+            yield rid0, n, row_of, token, w, tbv, tvals, y
+            rid0 += n
+
     # pass 2: accumulate per-fold pair statistics per target
     acc = {t: _PairStatsAccumulator(with_time=cfg.time_bin is not None) for t in cfg.targets}
     pos_sum, n_sum = 0.0, 0
-    rid0 = 0
-    exploded_cache = []  # per-batch exploded tokens, reused in pass 3
-    for rb in dataset.scanner(columns=cols, batch_size=cfg.stream_batch_rows).to_batches():
-        tab = rb
-        n = tab.num_rows
-        seq = tab.column(cols.index(cfg.seq_col)).to_numpy(zero_copy_only=False)
-        y = np.nan_to_num(
-            tab.column(cols.index(cfg.target_col)).to_numpy(zero_copy_only=False).astype(np.float64)
-        )
-        row_of, token, w = _explode_tokens(seq, cfg.seq_top_k, cfg.recency_tau)
-        tbv = None
-        if cfg.time_bin:
-            tb_col = tab.column(cols.index(cfg.time_bin)).to_numpy(zero_copy_only=False)
-            tbv = np.asarray(tb_col)[row_of]
+    for rid0, n, row_of, token, w, tbv, tvals, y in scan_exploded():
         batch_fold = folds[rid0 : rid0 + n]
         for t in cfg.targets:
-            tv = np.asarray(
-                tab.column(cols.index(t)).to_numpy(zero_copy_only=False)
-            )[row_of]
-            acc[t].add(batch_fold[row_of], token, tv, tbv, y[row_of], w)
-        exploded_cache.append((rid0, n, row_of, token, w, tbv, {
-            t: np.asarray(tab.column(cols.index(t)).to_numpy(zero_copy_only=False))
-            for t in cfg.targets
-        }))
+            acc[t].add(batch_fold[row_of], token, tvals[t][row_of], tbv, y[row_of], w)
         pos_sum += float(y.sum())
         n_sum += n
-        rid0 += n
 
     p0 = pos_sum / max(1, n_sum)  # global prior for beta smoothing
     per_fold = {t: acc[t].finalize() for t in cfg.targets}
@@ -303,12 +311,15 @@ def build_covis_features(
     }
 
     # pass 3: OOF row features for train (each row joined against the
-    # table that excludes its own fold)
+    # table that excludes its own fold).  Re-scans the parquet instead of
+    # caching pass 2's exploded tokens: at 10M rows x top-120 tokens the
+    # cache would be tens of GB, while re-tokenizing a 200k-row batch is
+    # deterministic and cheap.
     all_names: List[str] = []
     for t in cfg.targets:
         all_names += _feature_names(t, cfg.top_n)
     feats = np.zeros((n_sum, len(all_names)), np.float32)
-    for rid_base, n, row_of, token, w, tbv, tvals in exploded_cache:
+    for rid_base, n, row_of, token, w, tbv, tvals, _y in scan_exploded():
         batch_fold = folds[rid_base : rid_base + n]
         for ti, t in enumerate(cfg.targets):
             tv = tvals[t][row_of]
