@@ -189,7 +189,8 @@ class EvalConfig:
     score_formula: str = "reference"
     # Device-side AP/WLL (sorted cumulative-precision impl) instead of
     # host sklearn — for pod-scale validation sets (SURVEY.md §7).
-    device_metrics: bool = False
+    # None = auto: enabled on TPU backends, host sklearn elsewhere.
+    device_metrics: Optional[bool] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -141,6 +141,15 @@ def use_explicit_exchange(cfg: Config, mesh) -> bool:
     return bool(cfg.mesh.extra.get("explicit_exchange", True))
 
 
+def use_device_metrics(cfg: Config) -> bool:
+    """eval.device_metrics: None = auto (on for TPU backends, where the
+    tie-aware device AP avoids shipping 2M-row folds through sklearn)."""
+    v = cfg.eval.device_metrics
+    if v is None:
+        return jax.default_backend() == "tpu"
+    return bool(v)
+
+
 def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
     spec = build_model_spec(cfg, dims)
     use_pallas = cfg.model.use_pallas_attention
@@ -402,21 +411,35 @@ def make_eval_step(model: CTRModel):
     return eval_step
 
 
-def run_validation(eval_step, params, loader) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (y_true, p_raw, z_raw), padded rows dropped via the valid mask."""
-    zs, ps, ys = [], [], []
+def run_validation(
+    eval_step, params, loader, device_put=None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (y_true, p_raw, z_raw), padded rows dropped via the valid mask.
+
+    The loop never syncs with the device: per-batch (z, p) stay on device
+    (dispatch is async, so forward passes pipeline with host-side batch
+    assembly) and ONE ``jax.device_get`` at the end moves everything.
+    The reference transfers per batch (train.py:213-225); at 2M-row
+    validation folds that serialized device and host every step.
+    ``device_put`` optionally stages model inputs (e.g. with the mesh
+    batch sharding)."""
+    zs, ps, ys, valids = [], [], [], []
     for batch in loader:
-        valid = np.asarray(batch.pop("valid")).astype(bool)
-        y = np.asarray(batch.pop("y"))[valid] if "y" in batch else None
+        valids.append(np.asarray(batch.pop("valid")).astype(bool))
+        if "y" in batch:
+            ys.append(np.asarray(batch.pop("y")))
+        if device_put is not None:
+            batch = device_put(batch)
         z, p = eval_step(params, batch)
-        zs.append(np.asarray(z)[valid])
-        ps.append(np.asarray(p)[valid])
-        if y is not None:
-            ys.append(y)
+        zs.append(z)
+        ps.append(p)
+    zs, ps = jax.device_get((zs, ps))
+    valid = np.concatenate(valids) if valids else np.zeros(0, bool)
+    y = np.concatenate(ys)[valid] if ys else np.zeros(0)
     return (
-        np.concatenate(ys) if ys else np.zeros(0),
-        np.concatenate(ps),
-        np.concatenate(zs),
+        y,
+        np.concatenate(ps)[valid] if ps else np.zeros(0),
+        np.concatenate(zs)[valid] if zs else np.zeros(0),
     )
 
 
@@ -532,8 +555,10 @@ def train_one_fold(
         eval_p = (
             ema_params(state.ema, state.params, ema_mask) if use_ema_eval else state.params
         )
-        y_true, p_raw, z_raw = run_validation(eval_step, eval_p, va_loader)
-        if cfg.eval.device_metrics:
+        y_true, p_raw, z_raw = run_validation(
+            eval_step, eval_p, va_loader, device_put=bshard
+        )
+        if use_device_metrics(cfg):
             from ..eval.metrics import final_score_device
 
             ap, wll, score = final_score_device(
