@@ -147,3 +147,56 @@ def test_competition_score_formula(data_root):
     _, _, s_comp = final_score(y, p, formula="competition")
     assert abs(s_ref - (0.5 * ap + 0.5 * wll)) < 1e-12
     assert abs(s_comp - (0.5 * ap + 0.5 / (1 + wll))) < 1e-12
+
+def test_sweep_table_update_matches_scatter(data_root):
+    """train.table_update: sweep (Pallas, interpret on CPU) must produce
+    the same training trajectory as the XLA scatter path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tossctr_tpu.train.trainer import (
+        build_model, make_optimizer, make_train_state, make_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    B = 64
+    states, losses = [], []
+    for mode in ("sweep", "scatter"):
+        cfg = _base_cfg(
+            data_root,
+            exp_name=f"tupd_{mode}",
+            train={"embedding_optimizer": "rowwise_adagrad",
+                   "extra": {"table_update": mode}},
+        )
+        batch = {
+            "X_num": rng.normal(0, 1, (B, 5)).astype(np.float32),
+            "X_mask": np.zeros((B, 5), np.float32),
+            "X_cat": np.stack(
+                [rng.integers(0, cfg.data.bucket_for(c), B) for c in cfg.data.cat_cols], 1
+            ).astype(np.int32),
+            "seq": rng.integers(0, cfg.model.seq_vocab, (B, 16)).astype(np.int32),
+            "y": (rng.random(B) < 0.3).astype(np.float32),
+        }
+        rng = np.random.default_rng(5)  # same batches for both modes
+        dims = {"X_num": 5, "X_mask": 5, "X_cat": len(cfg.data.cat_cols), "seq_len": 16}
+        model = build_model(cfg, dims)
+        tx, schedule = make_optimizer(cfg, 10)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            {k: v for k, v in batch.items() if k != "y"},
+            deterministic=True,
+        )
+        state, mask = make_train_state(cfg, variables, tx)
+        step = make_train_step(
+            model, tx, cfg, jax.random.PRNGKey(1), ema_mask=mask, schedule=schedule
+        )
+        ls = []
+        for _ in range(3):
+            state, loss = step(state, batch)
+            ls.append(float(loss))
+        states.append(state)
+        losses.append(ls)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    ta0 = states[0].params["params"]["dare"]["emb_att"]
+    ta1 = states[1].params["params"]["dare"]["emb_att"]
+    np.testing.assert_allclose(np.asarray(ta0), np.asarray(ta1), atol=1e-5)

@@ -328,6 +328,20 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     # with the sharded lookup; parallel/embedding.py) when the model
     # axis is active — results equal the unsharded update exactly
     explicit = use_explicit_exchange(cfg, mesh) and emb_opt == "rowwise_adagrad"
+    # Pallas sweep-merge table update (ops/pallas_scatter.py): replaces
+    # the XLA per-row scatter (~85 ms/step at flagship shapes) with one
+    # bandwidth-bound sweep over both tables.  train.table_update:
+    # "auto" (sweep on TPU), "sweep", or "scatter".
+    tupd = str(cfg.train.extra.get("table_update", "auto"))
+    use_sweep = (
+        emb_opt == "rowwise_adagrad"
+        and not explicit
+        and not exact_dedup
+        and (
+            tupd == "sweep"
+            or (tupd == "auto" and jax.default_backend() == "tpu")
+        )
+    )
 
     @_jit
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
@@ -375,6 +389,21 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         g_rep = g_perts["dare"]["rep_rows"]
         table_opt = dict(state.table_opt)
         new_tables = {}
+        if use_sweep:
+            from ..ops.pallas_scatter import rowwise_adagrad_sweep_update
+
+            (t_att, t_rep), (acc_att, acc_rep) = rowwise_adagrad_sweep_update(
+                [tables["emb_att"], tables["emb_rep"]],
+                [table_opt["emb_att"].accum, table_opt["emb_rep"].accum],
+                sel_ids,
+                [g_att, g_rep],
+                lr=lr_t, weight_decay=wd, pad_row=pad_id,
+            )
+            new_tables = {"emb_att": t_att, "emb_rep": t_rep}
+            table_opt["emb_att"] = RowwiseAdagradState(accum=acc_att)
+            table_opt["emb_rep"] = RowwiseAdagradState(accum=acc_rep)
+            params = insert_tables(rest, new_tables)
+            return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
         for name, g_rows in (("emb_att", g_att), ("emb_rep", g_rep)):
             if explicit:
                 from ..parallel.embedding import sharded_rowwise_adagrad_update
@@ -433,7 +462,14 @@ def run_validation(
         z, p = eval_step(params, batch)
         zs.append(z)
         ps.append(p)
-    zs, ps = jax.device_get((zs, ps))
+    if jax.process_count() > 1:
+        # sharded outputs have non-addressable shards; fetch the global
+        # values (one collective for the whole epoch)
+        from jax.experimental import multihost_utils
+
+        zs, ps = multihost_utils.process_allgather((zs, ps), tiled=True)
+    else:
+        zs, ps = jax.device_get((zs, ps))
     valid = np.concatenate(valids) if valids else np.zeros(0, bool)
     y = np.concatenate(ys)[valid] if ys else np.zeros(0)
     return (
@@ -473,6 +509,15 @@ def train_one_fold(
             f"{cfg.mesh.model}}} over {mesh.size} devices)"
         )
     bshard = batch_sharding(mesh)
+    # Multi-host: every process computes the SAME global batch order
+    # (samplers are pure functions of seed/fold/epoch), gathers only its
+    # own row slice, and global arrays are assembled per batch with
+    # jax.make_array_from_process_local_data (data/multihost.py).
+    multihost = jax.process_count() > 1
+    if multihost:
+        from ..data.multihost import MultiHostBatchIterator, make_global_device_put
+
+        bshard = make_global_device_put(mesh, t.batch_size)
     cache = ShardCache(manifest_path)
     y_all = cache.labels()
 
@@ -498,6 +543,9 @@ def train_one_fold(
     va_loader = BatchIterator(
         cache, idx_va, batch_size=t.batch_size, train=True, shuffle=False, drop_last=False
     )
+    if multihost:
+        tr_loader = MultiHostBatchIterator(tr_loader, mesh)
+        va_loader = MultiHostBatchIterator(va_loader, mesh)
 
     model = build_model(cfg, cache.dims, mesh=mesh)
     steps_per_epoch = len(tr_loader)
