@@ -328,8 +328,7 @@ class Config:
 
     @classmethod
     def load(cls, path: str) -> "Config":
-        with open(path, "r") as f:
-            return cls.from_dict(yaml.safe_load(f))
+        return cls.from_dict(load_yaml_with_base(path))
 
     def to_dict(self) -> Dict[str, Any]:
         def unwrap(obj):
@@ -381,6 +380,39 @@ class Config:
         import os
 
         return os.path.join(self.logging.log_dir, self.exp_name)
+
+
+def deep_merge(base: Dict[str, Any], over: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursive dict merge: ``over`` wins; nested dicts merge key-wise;
+    a ``None`` in ``over`` removes the key (YAML ``key:`` with no value),
+    mirroring how reference experiments drop columns between revisions
+    (e.g. v4 removes l_feat_20/23 buckets, reference cfgs/v4_k120_s1.yaml)."""
+    out = dict(base)
+    for k, v in over.items():
+        if v is None and k in out:
+            del out[k]
+        elif isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_yaml_with_base(path: str) -> Dict[str, Any]:
+    """Load a YAML config, resolving an optional top-level ``base:`` key
+    (path relative to the file) whose dict the file deep-merges onto.
+    Lets the experiment family (cfgs/dare_base_tpu.yaml …) stay compact
+    deltas instead of near-identical 150-line copies (the reference
+    carries 13 mostly-duplicated cfgs, /root/reference/cfgs/)."""
+    import os
+
+    with open(path, "r") as f:
+        d = yaml.safe_load(f) or {}
+    base_rel = d.pop("base", None)
+    if base_rel is None:
+        return d
+    base_path = os.path.join(os.path.dirname(os.path.abspath(path)), base_rel)
+    return deep_merge(load_yaml_with_base(base_path), d)
 
 
 def load_config(path: str) -> Config:
