@@ -123,7 +123,15 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="profile the timed window and attach a per-step "
+                         "device-time breakdown (table_update/select/attention/...) "
+                         "to the JSON line")
     args = ap.parse_args()
+    if args.breakdown and not args.profile:
+        import tempfile
+
+        args.profile = tempfile.mkdtemp(prefix="tossctr_bench_trace_")
 
     import jax
 
@@ -186,12 +194,29 @@ def main():
             base = json.load(f).get("examples_per_sec_per_chip")
         if base:
             vs = eps / float(base)
-    print(json.dumps({
+
+    record = {
         "metric": "examples_per_sec_per_chip",
         "value": round(eps, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs, 4),
-    }))
+        "ms_per_step": round(step_ms, 2),
+        "batch": args.batch,
+    }
+    if args.breakdown:
+        from tossctr_tpu.utils.trace import find_trace_file, op_time_breakdown, top_ops
+
+        tp = find_trace_file(args.profile)
+        if tp is None:
+            print("# breakdown: no trace.json.gz found under", args.profile)
+        else:
+            bd = op_time_breakdown(tp)
+            record["breakdown_ms_per_step"] = {
+                k: round(v / args.steps, 2) for k, v in bd.items()
+            }
+            for name, ms in top_ops(tp, 12):
+                print(f"# top-op {ms / args.steps:8.2f} ms/step  {name[:100]}")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -57,7 +57,9 @@ def test_sweep_hot_id_multi_chunk():
         [table], ids, [delta], superblock=sb, interpret=True
     )[0]
     want = _oracle_add([table], ids, [delta])[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # fp32 deltas merge via hi+lo bf16 MXU passes (~1e-5 relative); the
+    # ~685-dup hot row accumulates that to ~1e-4 absolute
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
 def test_sweep_drops_out_of_range():

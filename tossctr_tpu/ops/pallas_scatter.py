@@ -121,14 +121,25 @@ def _sweep_kernel(
         )
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (sb, _CHUNK), 0)
         hit = (row_iota == local_b) & (pos_b >= start) & (pos_b < end)
-        oh = hit.astype(pbuf.dtype)  # (sb, 128)
+        oh = hit.astype(jnp.bfloat16)  # exact 0/1, MXU-native lhs
         upd = pbuf[slot]  # (128, w_pad)
-        return acc + jax.lax.dot_general(
-            oh,
-            upd,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (sb, w_pad)
+
+        def oh_dot(rhs):
+            return jax.lax.dot_general(
+                oh,
+                rhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (sb, w_pad)
+
+        if upd.dtype == jnp.bfloat16:
+            return acc + oh_dot(upd)
+        # fp32 deltas: one bf16 MXU pass truncates to ~0.4% rel error
+        # (measured) and Mosaic rejects fp32 contract precision with a
+        # bf16 lhs — split into hi+lo bf16 passes (~bf16^2 rel error)
+        hi = upd.astype(jnp.bfloat16)
+        lo = (upd - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return acc + oh_dot(hi) + oh_dot(lo)
 
     acc = jax.lax.fori_loop(0, nc, body, jnp.zeros((sb, w_pad), jnp.float32))
 
