@@ -5,6 +5,7 @@ Timing notes: unchained repeated calls through the axon tunnel are
 memoized — the timing loop chains each call's output into the next.
 """
 
+import functools
 import time
 
 import numpy as np
@@ -45,40 +46,42 @@ def main():
 
     # --- timing at flagship scale: 2 x (10M, 64) bf16, 245k update rows ---
     V, D, N = 10_000_000, 64, 245_760
-    t0 = time.time()
-    tabs = [
-        jnp.zeros((V, D), jnp.bfloat16) + jnp.float32(i + 1)
-        for i in range(2)
-    ]
-    jax.block_until_ready(tabs)
-    print(f"table init: {time.time()-t0:.1f}s")
     ids_j = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
     deltas = [jnp.asarray(rng.normal(0, 1e-4, (N, D)), jnp.float32) for _ in range(2)]
 
-    @jax.jit
+    # tables donated: in the trainer the step donates TrainState, so the
+    # kernel's input_output_aliases update in place; without donation XLA
+    # copies 2.56 GB per call and the chain OOMs HBM
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_sweep(tabs, ids, deltas):
         out = sweep_rows_add(list(tabs), ids, list(deltas), superblock=2048)
-        return out, ids + 1  # chain ids so calls aren't memoized
+        return tuple(out), ids + 1  # chain ids so calls aren't memoized
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_scatter(tabs, ids, deltas):
-        out = [t.at[ids].add(d.astype(t.dtype)) for t, d in zip(tabs, deltas)]
+        out = tuple(t.at[ids].add(d.astype(t.dtype)) for t, d in zip(tabs, deltas))
         return out, ids + 1
 
     for name, fn in (("sweep", step_sweep), ("xla_scatter", step_scatter)):
         t0 = time.time()
-        o, i2 = fn(tuple(tabs), ids_j, tuple(deltas))
-        jax.block_until_ready(o)
+        cur = tuple(
+            jnp.zeros((V, D), jnp.bfloat16) + jnp.float32(i + 1) for i in range(2)
+        )
+        jax.block_until_ready(cur)
+        print(f"{name}: table init {time.time()-t0:.1f}s")
+        t0 = time.time()
+        cur, cur_ids = fn(cur, ids_j, tuple(deltas))
+        jax.block_until_ready(cur)
         print(f"{name}: compile+1 {time.time()-t0:.1f}s")
         t0 = time.time()
-        cur, cur_ids = tuple(o), i2 % V
+        cur_ids = cur_ids % V
         n_it = 10
         for _ in range(n_it):
-            cur, cur_ids = fn(cur, cur_ids, tuple(deltas))
-            cur, cur_ids = tuple(cur), cur_ids % V
+            cur, cur_ids = fn(cur, cur_ids % V, tuple(deltas))
         jax.block_until_ready(cur)
         dt = (time.time() - t0) / n_it * 1e3
         print(f"{name}: {dt:.1f} ms/call (2 tables, chained)")
+        del cur, cur_ids
 
 
 if __name__ == "__main__":

@@ -147,3 +147,49 @@ def test_fm_cross_blocked_sums_blocks():
         fm_cross_multihead(z[:, 4:6], U, V)
     )
     assert np.allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunk", [7, 8, 16, 40, 64])
+def test_streaming_select_matches_dense(topk_data, chunk):
+    """L-chunked streaming selection (select_chunk) must reproduce the
+    dense pass exactly — indices, order, and tie-breaks (pad rows at
+    -1e9 resolve to the earliest position in both)."""
+    from tossctr_tpu.ops.topk_select import dare_select_ids
+
+    att, rep, seq, q = topk_data
+    for K in (5, 12, 40):
+        dense = dare_select_ids(
+            jnp.asarray(att), jnp.asarray(seq), jnp.asarray(q),
+            top_k=K, tau=32.0, pad_id=0,
+        )
+        stream = dare_select_ids(
+            jnp.asarray(att), jnp.asarray(seq), jnp.asarray(q),
+            top_k=K, tau=32.0, pad_id=0, select_chunk=chunk,
+        )
+        np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(stream[0]))
+        np.testing.assert_array_equal(np.asarray(dense[1]), np.asarray(stream[1]))
+
+
+def test_streaming_select_pad_heavy_rows():
+    """Rows with fewer than K real tokens: streaming must pick the same
+    pad positions (earliest-first) as dense."""
+    from tossctr_tpu.ops.topk_select import dare_select_ids
+
+    rng = np.random.default_rng(3)
+    V, D, B, L = 100, 8, 6, 30
+    att = rng.normal(0, 1, (V, D)).astype(np.float32)
+    seq = np.zeros((B, L), np.int32)
+    seq[0, -2:] = rng.integers(1, V, 2)     # 2 real tokens
+    seq[1, :] = 0                            # all pad
+    seq[2, ::3] = rng.integers(1, V, seq[2, ::3].shape[0])
+    q = rng.normal(0, 1, (B, D)).astype(np.float32)
+    for chunk in (4, 9, 30):
+        dense = dare_select_ids(
+            jnp.asarray(att), jnp.asarray(seq), jnp.asarray(q),
+            top_k=10, tau=8.0, pad_id=0,
+        )
+        stream = dare_select_ids(
+            jnp.asarray(att), jnp.asarray(seq), jnp.asarray(q),
+            top_k=10, tau=8.0, pad_id=0, select_chunk=chunk,
+        )
+        np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(stream[0]))

@@ -86,6 +86,11 @@ class SequenceConfig:
     query_mode: str = "S1"  # S1 | S2 | concat
     query_key: str = "inventory_id"
     transformer_block: bool = True
+    # L-chunked streaming selection: gather/score/merge top-k in chunks
+    # of this many positions so the (B, L, D) att-embedding tensor never
+    # materializes in HBM (ops/topk_select._streaming_topk_ids);
+    # null = one dense pass
+    select_chunk: Optional[int] = None
     tfm: TfmConfig = field(default_factory=TfmConfig)
     extra: Dict[str, Any] = field(default_factory=dict)
 

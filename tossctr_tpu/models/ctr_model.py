@@ -77,6 +77,7 @@ class ModelSpec:
     dare_dropout: float
     embedding_dropout: float
     qnn_enabled: bool
+    select_chunk: Optional[int] = None
     table_dtype: str = "float32"
     qnn: Dict[str, Any] = field(default_factory=dict)
     block_slices: Dict[str, Tuple[int, int]] = field(default_factory=dict)
@@ -135,6 +136,7 @@ def build_model_spec(cfg, dims: Dict[str, int]) -> ModelSpec:
         top_k=int(s.top_k),
         recency_tau=float(s.recency_tau),
         pad_id=int(s.pad_id),
+        select_chunk=(int(s.select_chunk) if s.select_chunk else None),
         query_mode=s.query_mode,
         query_key=s.query_key,
         transformer_block=bool(s.transformer_block),
@@ -291,6 +293,7 @@ class CTRModel(nn.Module):
             top_k=sp.top_k,
             recency_tau=sp.recency_tau,
             pad_id=sp.pad_id,
+            select_chunk=sp.select_chunk,
             transformer_block=sp.transformer_block,
             n_layers=sp.tfm_n_layers,
             n_heads=sp.tfm_n_heads,

@@ -35,6 +35,7 @@ class DARE(nn.Module):
     top_k: int = 80
     recency_tau: float = 256.0
     pad_id: int = 0
+    select_chunk: Optional[int] = None  # L-chunked streaming selection
     transformer_block: bool = True
     n_layers: int = 2
     n_heads: int = 4
@@ -84,6 +85,7 @@ class DARE(nn.Module):
             emb_att, seq_ids, query,
             top_k=self.top_k, tau=self.recency_tau, pad_id=self.pad_id,
             score_fn=self.score_fn, lookup_fn=self.lookup_fn,
+            select_chunk=self.select_chunk,
         )
         self.sow("intermediates", "sel_ids", sel_ids)
 

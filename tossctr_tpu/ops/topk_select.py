@@ -49,6 +49,66 @@ def _scores(att: jnp.ndarray, query: jnp.ndarray, seq_ids: jnp.ndarray,
     return jnp.where(seq_ids == pad_id, jnp.asarray(-1e9, s.dtype), s)
 
 
+def _streaming_topk_ids(
+    table: jnp.ndarray,
+    seq_ids: jnp.ndarray,
+    query: jnp.ndarray,
+    log_decay: jnp.ndarray,
+    pad_id: int,
+    K: int,
+    chunk: int,
+    take,
+):
+    """Running top-k over L-chunks: the (B,L,D) att-embedding tensor
+    never exists — each scan step gathers only (B,chunk,D), scores it,
+    and merges into a (B,K) carry (SURVEY.md §2.5 "Sequence handling":
+    blockwise over L, ring/long-context extensible).
+
+    Tie-order matches the dense ``lax.top_k`` exactly: the carry rides
+    first in each merge concat and ``lax.top_k`` is stable, so equal
+    scores (the -1e9 pads) resolve to the earliest L position, same as
+    one dense top_k over (B, L).
+    """
+    B, L = seq_ids.shape
+    cdt = query.dtype
+    n_chunks = -(-L // chunk)
+    Lp = n_chunks * chunk
+    if Lp > L:
+        # phantom positions: pad_id tokens -> -1e9, and they sit after
+        # every real position in merge order, so with K <= L they are
+        # never selected
+        seq_ids = jnp.pad(seq_ids, ((0, 0), (0, Lp - L)),
+                          constant_values=pad_id)
+        log_decay = jnp.pad(log_decay, (0, Lp - L))
+    ids_cs = seq_ids.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    dec_cs = log_decay.reshape(n_chunks, chunk)
+    pos0 = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    init = (
+        jnp.full((B, K), -jnp.inf, cdt),
+        jnp.zeros((B, K), jnp.int32),
+    )
+
+    def body(carry, xs):
+        bv, bp = carry
+        ids_c, dec_c, c0 = xs
+        nonpad = (ids_c != pad_id)
+        att = take(table, ids_c).astype(cdt) * nonpad[..., None].astype(cdt)
+        s = jnp.einsum("bcd,bd->bc", att, query) + dec_c[None, :].astype(cdt)
+        s = jnp.where(nonpad, s, jnp.asarray(-1e9, cdt))
+        mv = jnp.concatenate([bv, s], axis=1)
+        mp = jnp.concatenate(
+            [bp, jnp.broadcast_to(c0 + jnp.arange(chunk, dtype=jnp.int32),
+                                  (B, chunk))], axis=1
+        )
+        bv, j = jax.lax.top_k(mv, K)
+        bp = jnp.take_along_axis(mp, j, axis=1)
+        return (bv, bp), None
+
+    (vals, idx), _ = jax.lax.scan(body, init, (ids_cs, dec_cs, pos0))
+    return idx
+
+
 def dare_select_ids(
     att_table: jnp.ndarray,
     seq_ids: jnp.ndarray,
@@ -59,6 +119,7 @@ def dare_select_ids(
     pad_id: int = 0,
     score_fn=None,
     lookup_fn=None,
+    select_chunk=None,
 ):
     """Selection phase only, entirely under stop_gradient:
     -> (idx (B,K) positions into L, sel_ids (B,K) token ids, log_decay (L,)).
@@ -76,16 +137,22 @@ def dare_select_ids(
     log_decay = recency_log_decay(L, float(tau), cdt)
     sg_table = jax.lax.stop_gradient(att_table)
     sg_query = jax.lax.stop_gradient(query)
+    take = lookup_fn if lookup_fn is not None else (
+        lambda t, i: jnp.take(t, i, axis=0)
+    )
     if score_fn is not None:
         scores = score_fn(sg_table, seq_ids, sg_query, log_decay, pad_id)
-    else:
-        take = lookup_fn if lookup_fn is not None else (
-            lambda t, i: jnp.take(t, i, axis=0)
+        _, idx = jax.lax.top_k(scores, K)
+    elif select_chunk and select_chunk < L:
+        idx = _streaming_topk_ids(
+            sg_table, seq_ids, sg_query, log_decay, pad_id, K,
+            int(select_chunk), take,
         )
+    else:
         att = take(sg_table, seq_ids).astype(cdt)
         att = att * (seq_ids != pad_id)[..., None].astype(cdt)
         scores = _scores(att, sg_query, seq_ids, log_decay, pad_id)
-    _, idx = jax.lax.top_k(scores, K)
+        _, idx = jax.lax.top_k(scores, K)
     idx = jax.lax.stop_gradient(idx)
     sel_ids = jnp.take_along_axis(seq_ids, idx, axis=1)
     return idx, sel_ids, log_decay

@@ -328,19 +328,19 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     # with the sharded lookup; parallel/embedding.py) when the model
     # axis is active — results equal the unsharded update exactly
     explicit = use_explicit_exchange(cfg, mesh) and emb_opt == "rowwise_adagrad"
-    # Pallas sweep-merge table update (ops/pallas_scatter.py): replaces
-    # the XLA per-row scatter (~85 ms/step at flagship shapes) with one
-    # bandwidth-bound sweep over both tables.  train.table_update:
-    # "auto" (sweep on TPU), "sweep", or "scatter".
+    # Pallas sweep-merge table update (ops/pallas_scatter.py): one
+    # aligned read+write pass over both tables instead of the XLA
+    # per-row scatter.  Measured on v5e (scripts/tpu_sweep_check.py):
+    # 1295 ms/call vs 101 ms for the XLA scatter at flagship shapes —
+    # the per-superblock pipeline cost dominates — so "auto" currently
+    # resolves to the scatter; the kernel stays opt-in
+    # (train.table_update: "sweep") while the block pipeline is tuned.
     tupd = str(cfg.train.extra.get("table_update", "auto"))
     use_sweep = (
         emb_opt == "rowwise_adagrad"
         and not explicit
         and not exact_dedup
-        and (
-            tupd == "sweep"
-            or (tupd == "auto" and jax.default_backend() == "tpu")
-        )
+        and tupd == "sweep"
     )
 
     @_jit
