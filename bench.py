@@ -81,7 +81,8 @@ def build_cfg(args):
             # on top of params+grads and blow the 16 GB HBM; the reference's
             # own param_filter mechanism (ema.py:30) excludes them.
             "ema": {"enabled": True, "decay": 0.999,
-                    "param_filter": [] if args.ema_tables else ["emb_att", "emb_rep"]},
+                    "param_filter": [] if args.ema_tables
+                    else ["emb_att", "emb_rep", "emb_tables"]},
             "cv": {"n_splits": 1, "group_key": "inventory_id"},
         }
     )

@@ -40,6 +40,10 @@ def _cfg(**over):
         },
         "train": {"batch_size": 8, "epochs": 1},
     }
+    # these tests assert against the reference-shaped split emb_att /
+    # emb_rep params (the parity oracle); the fused (V, 2D) layout has
+    # its own parity suite in tests/test_fused_tables.py
+    base["model"]["fused_seq_tables"] = False
 
     def deep_update(d, u):
         for k, v in u.items():

@@ -131,6 +131,9 @@ def _tiny_cfg(emb_opt):
                 "transformer_block": False, "tfm": {"gating": "softmax"},
             },
             "model": {
+                # split tables: this file asserts the split-path
+                # semantics (fused parity: tests/test_fused_tables.py)
+                "fused_seq_tables": False,
                 "emb_dim": 8, "seq_vocab": 40, "dare_dropout": 0.0,
                 "cat_embedding_dims": {"c1": 4},
                 "qnn_alpha": {"enabled": True, "feature_embed_dim": 4, "heads": 2,

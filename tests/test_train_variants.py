@@ -197,6 +197,7 @@ def test_sweep_table_update_matches_scatter(data_root):
         states.append(state)
         losses.append(ls)
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
-    ta0 = states[0].params["params"]["dare"]["emb_att"]
-    ta1 = states[1].params["params"]["dare"]["emb_att"]
+    d0, d1 = (s.params["params"]["dare"] for s in states)
+    ta0 = d0.get("emb_tables", d0.get("emb_att"))
+    ta1 = d1.get("emb_tables", d1.get("emb_att"))
     np.testing.assert_allclose(np.asarray(ta0), np.asarray(ta1), atol=1e-5)

@@ -138,6 +138,13 @@ class ModelConfig:
     # Fused Pallas attention over the K selected tokens (ops/pallas_attention).
     # None = auto: on for TPU backends, off elsewhere.
     use_pallas_attention: Optional[bool] = None
+    # Store att/rep lane-fused as ONE (V, 2*emb_dim) param: at D=64 a
+    # row is exactly one native 128-lane TPU tile, so table gathers and
+    # scatters run layout-native (XLA otherwise relayouts the whole
+    # (V, 64) table per step — measured 2.56 GB of step temps at 10M
+    # rows, zero when fused; scripts/tpu_layout_probe.py).  False =
+    # reference-shaped split tables (parity oracle).
+    fused_seq_tables: bool = True
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

@@ -78,6 +78,7 @@ class ModelSpec:
     embedding_dropout: float
     qnn_enabled: bool
     select_chunk: Optional[int] = None
+    fused_seq_tables: bool = True
     table_dtype: str = "float32"
     qnn: Dict[str, Any] = field(default_factory=dict)
     block_slices: Dict[str, Tuple[int, int]] = field(default_factory=dict)
@@ -137,6 +138,7 @@ def build_model_spec(cfg, dims: Dict[str, int]) -> ModelSpec:
         recency_tau=float(s.recency_tau),
         pad_id=int(s.pad_id),
         select_chunk=(int(s.select_chunk) if s.select_chunk else None),
+        fused_seq_tables=bool(cfg.model.fused_seq_tables),
         query_mode=s.query_mode,
         query_key=s.query_key,
         transformer_block=bool(s.transformer_block),
@@ -294,6 +296,7 @@ class CTRModel(nn.Module):
             recency_tau=sp.recency_tau,
             pad_id=sp.pad_id,
             select_chunk=sp.select_chunk,
+            fused_tables=sp.fused_seq_tables,
             transformer_block=sp.transformer_block,
             n_layers=sp.tfm_n_layers,
             n_heads=sp.tfm_n_heads,

@@ -243,28 +243,38 @@ def rowwise_adagrad_sweep_update(
     pad_row: Optional[int] = None,
     superblock: int = 2048,
     interpret: bool = False,
+    halves: int = 1,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Row-wise AdaGrad over several same-shape tables touched at the
-    same ids (DARE's att/rep pair), with the row merge done by
-    ``sweep_rows_add`` instead of XLA scatter.  Semantics match
+    same ids (DARE's att/rep pair, or one lane-fused (V, H*D) table with
+    ``halves=H``), with the row merge done by ``sweep_rows_add`` instead
+    of XLA scatter.  Semantics match
     ``train.sparse_embed.rowwise_adagrad_update(exact_dedup=False)``
     per table: per-occurrence g², post-accumulation scale, lazy decay —
     only the duplicate-row summation runs in fp32 here (the XLA path
     sums in table dtype).
     """
-    V, D = tables[0].shape
+    V, W = tables[0].shape
+    Dh = W // halves
     ids = ids.reshape(-1)
     N = ids.shape[0]
     new_accums: List[jnp.ndarray] = []
     deltas: List[jnp.ndarray] = []
     for table, accum, g in zip(tables, accums, row_grads):
-        g = g.astype(jnp.float32).reshape(N, D)
+        g = g.astype(jnp.float32).reshape(N, W)
         if pad_row is not None:
             g = g * (ids != pad_row)[:, None]
-        g2 = jnp.mean(g * g, axis=1)
+        if halves == 1:
+            g2 = jnp.mean(g * g, axis=1)
+        else:
+            g2 = jnp.mean((g * g).reshape(N, halves, Dh), axis=2)
         accum = accum.at[ids].add(g2)
         scale = lr / (jnp.sqrt(jnp.take(accum, ids, axis=0)) + eps)
-        delta = -scale[:, None] * g
+        if halves > 1:
+            scale = jnp.repeat(scale, Dh, axis=1)
+        else:
+            scale = scale[:, None]
+        delta = -scale * g
         if weight_decay:
             rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
             delta = delta - (lr * weight_decay) * rows

@@ -133,9 +133,12 @@ def sharded_rowwise_adagrad_update(
     weight_decay: float = 0.0,
     pad_row: int = 0,
     exact_dedup: bool = False,
+    halves: int = 1,
 ):
     """Row-sparse AdaGrad on a row-sharded table, composed with the
-    sharded lookup (VERDICT r1 #4).
+    sharded lookup (VERDICT r1 #4).  ``halves`` mirrors
+    train/sparse_embed.rowwise_adagrad_update: a lane-fused (V, H*D)
+    table carries an (V, H) accumulator, sharded with its rows.
 
     table (V, D) P('model', None); accum (V,) P('model'); ids (B, K) and
     row_grads (B, K, D) sharded over 'data'.  Each device all-gathers
@@ -156,7 +159,7 @@ def sharded_rowwise_adagrad_update(
         new_t, st = rowwise_adagrad_update(
             table, RowwiseAdagradState(accum), ids.reshape(-1), row_grads,
             lr=lr, eps=eps, weight_decay=weight_decay, pad_row=pad_row,
-            exact_dedup=exact_dedup,
+            exact_dedup=exact_dedup, halves=halves,
         )
         return new_t, st.accum
 
@@ -177,7 +180,7 @@ def sharded_rowwise_adagrad_update(
             local_table, RowwiseAdagradState(local_accum), li, g_all,
             lr=lr_l[0], eps=eps, weight_decay=weight_decay,
             pad_row=pad_row - shard * rows,
-            exact_dedup=exact_dedup,
+            exact_dedup=exact_dedup, halves=halves,
         )
         return new_t, st.accum
 
@@ -186,12 +189,15 @@ def sharded_rowwise_adagrad_update(
         mesh=mesh,
         in_specs=(
             P(MODEL_AXIS, None),
-            P(MODEL_AXIS),
+            P(MODEL_AXIS) if halves == 1 else P(MODEL_AXIS, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None, None),
             P(),
         ),
-        out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS)),
+        out_specs=(
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS) if halves == 1 else P(MODEL_AXIS, None),
+        ),
         # outputs ARE replicated over 'data' — every data-replica applies
         # the identical all_gathered update — but the static varying-axis
         # checker cannot prove it through the gather+scatter body

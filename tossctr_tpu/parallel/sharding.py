@@ -27,7 +27,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 # substrings marking row-shardable embedding tables (matches
 # train/trainer.py's optimizer labeling)
-EMB_MARKERS = ("emb_att", "emb_rep", "table_")
+EMB_MARKERS = ("emb_att", "emb_rep", "emb_tables", "table_")
 
 
 def _path_name(path) -> str:

@@ -34,13 +34,20 @@ import jax.numpy as jnp
 
 
 class RowwiseAdagradState(NamedTuple):
-    accum: jnp.ndarray  # (V,) fp32 per-row grad-square accumulator
+    # (V,) fp32 per-row grad-square accumulator; (V, H) when the table
+    # fuses H logical tables lane-wise (model.fused_seq_tables: the
+    # att/rep pair stored as one (V, 2D) array so the row tile is
+    # exactly 128 lanes — see ops/pallas_scatter.py header and
+    # docs/DESIGN.md; each half keeps its own accumulator so fused
+    # updates equal the split-table updates bit-for-bit)
+    accum: jnp.ndarray
 
 
-def init_rowwise_adagrad(table: jnp.ndarray, init_accum: float = 0.0) -> RowwiseAdagradState:
-    return RowwiseAdagradState(
-        accum=jnp.full((table.shape[0],), init_accum, jnp.float32)
-    )
+def init_rowwise_adagrad(
+    table: jnp.ndarray, init_accum: float = 0.0, halves: int = 1
+) -> RowwiseAdagradState:
+    shape = (table.shape[0],) if halves == 1 else (table.shape[0], halves)
+    return RowwiseAdagradState(accum=jnp.full(shape, init_accum, jnp.float32))
 
 
 def dedup_rows(
@@ -81,10 +88,17 @@ def rowwise_adagrad_update(
     weight_decay: float = 0.0,
     pad_row: Optional[int] = None,
     exact_dedup: bool = False,
+    halves: int = 1,
 ) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
     """ids (N,) int, row_grads (N,D) — per-occurrence gradients of the
     gathered rows (duplicates allowed).  ``pad_row`` (e.g. the sequence
     pad id) never receives updates, mirroring torch's padding_idx.
+
+    ``halves > 1``: the table lane-fuses that many logical tables
+    (model.fused_seq_tables — att/rep as one (V, 2D) array).  Each
+    D//halves lane slice keeps its OWN second-moment column in the
+    (V, halves) accumulator, so the fused update equals running the
+    split tables independently — with a single row scatter.
 
     Two duplicate-handling modes:
       * exact_dedup=True  — sort + segment-sum duplicates, then one
@@ -98,22 +112,37 @@ def rowwise_adagrad_update(
         approximation, equal to exact when a row appears once in the
         batch.  Weight decay applies per occurrence (lazy).
     """
-    V, D = table.shape
-    g = row_grads.astype(jnp.float32).reshape(-1, D)
+    V, W = table.shape
+    assert W % halves == 0
+    Dh = W // halves
+    g = row_grads.astype(jnp.float32).reshape(-1, W)
     ids = ids.reshape(-1)
     if pad_row is not None:
         g = g * (ids != pad_row)[:, None]
+
+    def row_g2(gr):
+        """(N, W) -> per-half second moment: (N,) or (N, halves)."""
+        if halves == 1:
+            return jnp.mean(gr * gr, axis=1)
+        return jnp.mean(
+            (gr * gr).reshape(-1, halves, Dh), axis=2
+        )  # (N, halves)
+
+    def widen(scale):
+        """Per-half scale -> per-lane: (N,) -> (N,1) / (N,H) -> (N,W)."""
+        if halves == 1:
+            return scale[:, None]
+        return jnp.repeat(scale, Dh, axis=1)
 
     if exact_dedup:
         # dedup_rows emits ids sorted ascending with the drop sentinel at
         # the tail: both scatter fast-path hints hold
         uids, gu = dedup_rows(ids, g, drop_index=V)
         acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
-        g2 = jnp.mean(gu * gu, axis=1)  # row-wise second moment
-        acc_new = acc_rows + g2
+        acc_new = acc_rows + row_g2(gu)
         scale = lr / (jnp.sqrt(acc_new) + eps)
         rows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
-        new_rows = rows * (1.0 - lr * weight_decay) - scale[:, None] * gu
+        new_rows = rows * (1.0 - lr * weight_decay) - widen(scale) * gu
         table = table.at[uids].set(
             new_rows.astype(table.dtype), mode="drop",
             unique_indices=True, indices_are_sorted=True,
@@ -124,10 +153,9 @@ def rowwise_adagrad_update(
         return table, RowwiseAdagradState(accum=accum)
 
     # ---- no-sort scatter path ----
-    g2 = jnp.mean(g * g, axis=1)  # per-occurrence row second moment
-    accum = state.accum.at[ids].add(g2)
+    accum = state.accum.at[ids].add(row_g2(g))
     scale = lr / (jnp.sqrt(jnp.take(accum, ids, axis=0)) + eps)
-    delta = -scale[:, None] * g
+    delta = -widen(scale) * g
     if weight_decay:
         rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
         delta = delta - (lr * weight_decay) * rows

@@ -55,9 +55,11 @@ class TrainState(NamedTuple):
     table_opt: Any = None  # sparse-mode per-table optimizer state
 
 
-_EMB_MARKERS = ("emb_att", "emb_rep", "table_")
-# the two giant sequence tables that get row-sparse treatment
-SEQ_TABLES = ("emb_att", "emb_rep")
+_EMB_MARKERS = ("emb_att", "emb_rep", "emb_tables", "table_")
+# the giant sequence tables that get row-sparse treatment: the fused
+# (V, 2D) "emb_tables" (model.fused_seq_tables, default) or the split
+# reference-shaped pair
+SEQ_TABLES = ("emb_tables", "emb_att", "emb_rep")
 SPARSE_EMB_OPTS = ("rowwise_adagrad", "sparse_sgd")
 
 
@@ -71,11 +73,11 @@ def _is_embedding_path(path) -> bool:
 
 
 def extract_tables(params):
-    """Split the two DARE tables out of the param tree.
-    -> (rest_params, {'emb_att': ..., 'emb_rep': ...})"""
+    """Split the DARE sequence table(s) out of the param tree.
+    -> (rest_params, {'emb_tables': ...} or {'emb_att': ..., 'emb_rep': ...})"""
     top = dict(params["params"])
     dare = dict(top["dare"])
-    tables = {k: dare.pop(k) for k in SEQ_TABLES}
+    tables = {k: dare.pop(k) for k in SEQ_TABLES if k in dare}
     top["dare"] = dare
     rest = dict(params)
     rest["params"] = top
@@ -202,7 +204,10 @@ def make_train_state(cfg: Config, params, tx):
         rest, tables = extract_tables(params)
         opt_state = tx.init(rest)
         if cfg.train.embedding_optimizer == "rowwise_adagrad":
-            table_opt = {k: init_rowwise_adagrad(v) for k, v in tables.items()}
+            table_opt = {
+                k: init_rowwise_adagrad(v, halves=2 if k == "emb_tables" else 1)
+                for k, v in tables.items()
+            }
         else:
             table_opt = {}
     else:
@@ -343,6 +348,8 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         and tupd == "sweep"
     )
 
+    fused = bool(cfg.model.fused_seq_tables)
+
     @_jit
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
         y = batch["y"]
@@ -350,12 +357,15 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         rng = jax.random.fold_in(base_key, state.step)
         drop_rng, rank_rng = jax.random.split(rng)
         rest, tables = extract_tables(state.params)
-        perts0 = {
-            "dare": {
-                "att_rows": jnp.zeros((B, K, D), cdt),
-                "rep_rows": jnp.zeros((B, K, D), cdt),
+        if fused:
+            perts0 = {"dare": {"table_rows": jnp.zeros((B, K, 2 * D), cdt)}}
+        else:
+            perts0 = {
+                "dare": {
+                    "att_rows": jnp.zeros((B, K, D), cdt),
+                    "rep_rows": jnp.zeros((B, K, D), cdt),
+                }
             }
-        }
 
         def loss_fn(rest_params, perts):
             full = insert_tables(rest_params, tables)
@@ -385,40 +395,48 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         rest = optax.apply_updates(rest, updates)
 
         lr_t = schedule(state.step)
-        g_att = g_perts["dare"]["att_rows"]
-        g_rep = g_perts["dare"]["rep_rows"]
+        if fused:
+            grads_by_table = {"emb_tables": g_perts["dare"]["table_rows"]}
+        else:
+            grads_by_table = {
+                "emb_att": g_perts["dare"]["att_rows"],
+                "emb_rep": g_perts["dare"]["rep_rows"],
+            }
         table_opt = dict(state.table_opt)
         new_tables = {}
         if use_sweep:
             from ..ops.pallas_scatter import rowwise_adagrad_sweep_update
 
-            (t_att, t_rep), (acc_att, acc_rep) = rowwise_adagrad_sweep_update(
-                [tables["emb_att"], tables["emb_rep"]],
-                [table_opt["emb_att"].accum, table_opt["emb_rep"].accum],
+            names = list(grads_by_table)
+            new_ts, new_accs = rowwise_adagrad_sweep_update(
+                [tables[n] for n in names],
+                [table_opt[n].accum for n in names],
                 sel_ids,
-                [g_att, g_rep],
+                [grads_by_table[n] for n in names],
                 lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                halves=2 if fused else 1,
             )
-            new_tables = {"emb_att": t_att, "emb_rep": t_rep}
-            table_opt["emb_att"] = RowwiseAdagradState(accum=acc_att)
-            table_opt["emb_rep"] = RowwiseAdagradState(accum=acc_rep)
+            for n, t, a in zip(names, new_ts, new_accs):
+                new_tables[n] = t
+                table_opt[n] = RowwiseAdagradState(accum=a)
             params = insert_tables(rest, new_tables)
             return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
-        for name, g_rows in (("emb_att", g_att), ("emb_rep", g_rep)):
+        halves = 2 if fused else 1
+        for name, g_rows in grads_by_table.items():
             if explicit:
                 from ..parallel.embedding import sharded_rowwise_adagrad_update
 
                 new_tables[name], acc = sharded_rowwise_adagrad_update(
                     tables[name], table_opt[name].accum, sel_ids, g_rows,
                     mesh, lr=lr_t, weight_decay=wd, pad_row=pad_id,
-                    exact_dedup=exact_dedup,
+                    exact_dedup=exact_dedup, halves=halves,
                 )
                 table_opt[name] = RowwiseAdagradState(accum=acc)
             elif emb_opt == "rowwise_adagrad":
                 new_tables[name], table_opt[name] = rowwise_adagrad_update(
                     tables[name], table_opt[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
-                    exact_dedup=exact_dedup,
+                    exact_dedup=exact_dedup, halves=halves,
                 )
             else:  # sparse_sgd
                 new_tables[name] = sparse_sgd_update(
