@@ -5,7 +5,15 @@ this module is the TPU build's observability primitive: run a step
 window under ``jax.profiler.trace``, then fold the exported Perfetto
 ``trace.json.gz`` into a named device-time breakdown (the same numbers
 DESIGN.md §2 quotes).  Used by ``bench.py --breakdown`` to attach a
-scatter/select/attention budget to the bench JSON.
+table/select/attention budget to the bench JSON.
+
+Only the device "XLA Ops" track is summed: the "XLA Modules" and
+"Steps" tracks cover the same wall-span (one event per step each) and
+would double-count every op.  Classification uses the per-op
+``hlo_category`` plus the HLO ``long_name`` (operand/output shapes):
+an op whose *output* has >= ``big_rows`` rows is a table write
+(scatter/update of a vocab-sized embedding table); one whose *operand*
+has >= ``big_rows`` rows is a table gather (selection lookup).
 """
 
 from __future__ import annotations
@@ -17,15 +25,8 @@ import os
 import re
 from typing import Dict, List, Optional, Tuple
 
-# op-name classification for the flagship step, most-specific first
-GROUPS: List[Tuple[str, str]] = [
-    ("table_update", r"sweep|scatter"),
-    ("attention", r"attention|mha|softmax"),
-    ("select_gather", r"gather|take|dynamic-slice|dynamic_slice"),
-    ("sort", r"sort"),
-    ("matmul", r"dot|einsum|conv"),
-    ("elementwise_fusion", r"fusion|loop|add|mul|divide|select"),
-]
+# rows at/above which an array is considered "a vocab-sized table"
+BIG_ROWS = 5_000_000
 
 
 def find_trace_file(log_dir: str) -> Optional[str]:
@@ -40,46 +41,90 @@ def find_trace_file(log_dir: str) -> Optional[str]:
 
 
 def load_device_events(trace_path: str) -> List[Dict]:
-    """Complete events (ph == 'X') from device-side tracks.
+    """Complete events (ph == 'X') from the device "XLA Ops" tracks.
 
-    Device tracks are the process names containing 'TPU' / 'Device'
-    (host python/runtime threads are excluded so the budget is pure
-    device time)."""
+    Host python/runtime threads, and the per-step "Steps" / "XLA
+    Modules" device tracks (which span the same time as their child
+    ops), are excluded so a plain sum is pure, non-overlapping device
+    time."""
     with gzip.open(trace_path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
     dev_pids = set()
+    op_tids = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             nm = str(e.get("args", {}).get("name", ""))
             if re.search(r"TPU|Device|/device", nm, re.I):
                 dev_pids.add(e.get("pid"))
+        elif e.get("name") == "thread_name":
+            nm = str(e.get("args", {}).get("name", ""))
+            if re.search(r"XLA Ops", nm, re.I):
+                op_tids.add((e.get("pid"), e.get("tid")))
     out = []
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in dev_pids
+            and (e.get("pid"), e.get("tid")) in op_tids
+        ):
             out.append(e)
     return out
 
 
-def op_time_breakdown(
-    trace_path: str, groups: Optional[List[Tuple[str, str]]] = None
-) -> Dict[str, float]:
-    """Total device ms per named group over the whole trace window.
+def _shape_rows(long_name: str) -> Tuple[int, int]:
+    """(output_rows, max_operand_rows) parsed from an HLO long_name.
 
-    Events nested inside other events on the same track would double
-    count; XLA device tracks are flat (one op per timeslice), so a
-    plain sum is correct."""
-    groups = groups or GROUPS
+    ``%fusion.27 = bf16[10000000,128]{...} fusion(bf16[10000000,128]{...}
+    %emb_tables, s32[491520]{...} %ids)`` -> (10000000, 10000000)."""
+    dims = [int(d) for d in re.findall(r"\w+\[(\d+)", long_name)]
+    if not dims:
+        return 0, 0
+    return dims[0], (max(dims[1:]) if len(dims) > 1 else 0)
+
+
+def classify_op(name: str, long_name: str, category: str,
+                big_rows: int = BIG_ROWS) -> str:
+    if re.search(r"mha|attention|softmax|flash", name, re.I):
+        return "attention"
+    out_rows, op_rows = _shape_rows(long_name)
+    if out_rows >= big_rows or re.search(r"scatter|sweep", name, re.I):
+        return "table_update"
+    if op_rows >= big_rows or re.search(r"gather|take", name, re.I):
+        return "select_gather"
+    if category == "sort" or "sort" in name:
+        return "sort"
+    if category in ("convolution fusion", "convolution") or re.search(
+        r"dot|conv|einsum", name, re.I
+    ):
+        return "matmul"
+    if category == "custom-call":
+        return "custom_call"
+    if "fusion" in category or "fusion" in name:
+        return "elementwise_fusion"
+    if category in ("data formatting", "copy", "copy-start", "copy-done",
+                    "pad", "slice", "broadcast", "reshape", "transpose"):
+        return "data_formatting"
+    return "other"
+
+
+def op_time_breakdown(
+    trace_path: str, big_rows: int = BIG_ROWS
+) -> Dict[str, float]:
+    """Total device ms per class over the whole trace window."""
     totals: Dict[str, float] = {}
     for e in load_device_events(trace_path):
         name = str(e.get("name", ""))
-        dur_ms = float(e.get("dur", 0.0)) / 1e3  # dur is in us
-        for gname, pat in groups:
-            if re.search(pat, name, re.I):
-                totals[gname] = totals.get(gname, 0.0) + dur_ms
-                break
-        else:
-            totals["other"] = totals.get("other", 0.0) + dur_ms
+        args = e.get("args", {}) or {}
+        g = classify_op(
+            name,
+            str(args.get("long_name", "")),
+            str(args.get("hlo_category", "")),
+            big_rows,
+        )
+        totals[g] = totals.get(g, 0.0) + float(e.get("dur", 0.0)) / 1e3
     return dict(sorted(totals.items(), key=lambda kv: -kv[1]))
 
 
