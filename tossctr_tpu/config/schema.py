@@ -138,6 +138,9 @@ class ModelConfig:
     # Fused Pallas attention over the K selected tokens (ops/pallas_attention).
     # None = auto: on for TPU backends, off elsewhere.
     use_pallas_attention: Optional[bool] = None
+    # Fused Pallas FFN inside the DARE transformer (ops/pallas_ffn): the
+    # (B*K, ffn_hidden) hidden activation never hits HBM.  Same auto rule.
+    use_pallas_ffn: Optional[bool] = None
     # Store att/rep lane-fused as ONE (V, 2*emb_dim) param: at D=64 a
     # row is exactly one native 128-lane TPU tile, so table gathers and
     # scatters run layout-native (XLA otherwise relayouts the whole

@@ -220,6 +220,7 @@ class CTRModel(nn.Module):
     sparse_topk_backward: bool = True
     sparse_tables: bool = False  # see DARE.sparse_tables
     use_pallas_attn: bool = False
+    use_pallas_ffn: bool = False
     # measured slower than the XLA einsum path at flagship shapes (the
     # VMEM-fitting blocks are too small); available but off by default
     use_pallas_fm: bool = False
@@ -310,6 +311,7 @@ class CTRModel(nn.Module):
             sparse_backward=self.sparse_topk_backward,
             sparse_tables=self.sparse_tables,
             use_pallas_attn=self.use_pallas_attn,
+            use_pallas_ffn=self.use_pallas_ffn,
             table_dtype=table_dtype,
             dtype=self.dtype,
             score_fn=self.score_fn,

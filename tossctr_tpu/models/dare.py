@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 import jax
 
-from ..ops.topk_select import dare_select_ids
+from ..ops.topk_select import dare_select_ids, log_decay_at
 from .layers import DAREEncoderLayer
 
 
@@ -60,6 +60,7 @@ class DARE(nn.Module):
     sparse_tables: bool = False
     table_dtype: Any = jnp.float32  # storage dtype of the two tables
     use_pallas_attn: bool = False
+    use_pallas_ffn: bool = False
     dtype: Any = jnp.float32
     score_fn: Optional[Any] = None  # pallas scoring kernel hook
     # lookup_fn(table, ids) -> rows: replaces plain jnp.take for table
@@ -129,7 +130,9 @@ class DARE(nn.Module):
             att_sel = self.perturb("att_rows", att_sel)
             sel_rep = take(rep_tbl, sel_ids).astype(self.dtype) * sel_nonpad
             sel_rep = self.perturb("rep_rows", sel_rep)
-        vals = jnp.einsum("bkd,bd->bk", att_sel, query) + jnp.take(log_decay, idx)
+        vals = jnp.einsum("bkd,bd->bk", att_sel, query) + log_decay_at(
+            idx, seq_ids.shape[1], float(self.recency_tau), self.dtype
+        )
         vals = jnp.where(sel_ids == self.pad_id, jnp.asarray(-1e9, self.dtype), vals)
 
         x = sel_rep
@@ -145,6 +148,7 @@ class DARE(nn.Module):
                     add_pos_bias=self.add_positional_bias,
                     max_len=self.top_k,
                     use_pallas_attn=self.use_pallas_attn,
+                    use_pallas_ffn=self.use_pallas_ffn,
                     dtype=self.dtype,
                     name=f"layer_{i}",
                 )(x, deterministic=deterministic)

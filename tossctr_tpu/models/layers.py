@@ -129,6 +129,27 @@ class MultiHeadSelfAttention(nn.Module):
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
 
 
+class DenseParams(nn.Module):
+    """Declares the same {kernel, bias} params as ``nn.Dense`` without
+    computing: used when the matmul runs inside a fused Pallas kernel
+    (ops/pallas_ffn.py) so the parameter tree stays byte-identical
+    between the fused and unfused paths (checkpoint portability, same
+    guarantee as MultiHeadSelfAttention.use_pallas)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.out_dim,), jnp.float32)
+        return k, b
+
+
 class DAREEncoderLayer(nn.Module):
     """Post-norm transformer block over the K selected tokens
     (reference dare.py:39-70): MHA + residual + norm, FFN(GELU) +
@@ -148,6 +169,9 @@ class DAREEncoderLayer(nn.Module):
     add_pos_bias: bool = True
     max_len: int = 512
     use_pallas_attn: bool = False
+    # fused VMEM FFN (ops/pallas_ffn.py): the (B*K, ffn_hidden) hidden
+    # activation never hits HBM; identical param tree either way
+    use_pallas_ffn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -168,10 +192,28 @@ class DAREEncoderLayer(nn.Module):
         )(x, attn_bias=bias, deterministic=deterministic)
         x = x + h
         x = make_norm(self.norm, self.dtype)(x)
-        h2 = nn.Dense(self.ffn_hidden, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        h2 = nn.gelu(h2)
-        h2 = nn.Dropout(self.ffn_dropout)(h2, deterministic=deterministic)
-        h2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32)(h2)
+        if self.use_pallas_ffn:
+            from ..ops.pallas_ffn import fused_ffn
+
+            w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
+            w2, b2 = DenseParams(self.ffn_hidden, D, name="Dense_1")()
+            p = float(self.ffn_dropout) if not deterministic else 0.0
+            if p > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            h2 = fused_ffn(
+                x.reshape(B * K, D),
+                w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, seed, p,
+            ).reshape(B, K, D)
+        else:
+            h2 = nn.Dense(self.ffn_hidden, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            h2 = nn.gelu(h2)
+            h2 = nn.Dropout(self.ffn_dropout)(h2, deterministic=deterministic)
+            h2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32)(h2)
         x = x + h2
         x = make_norm(self.norm, self.dtype)(x)
         return x

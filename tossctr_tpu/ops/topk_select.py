@@ -43,6 +43,32 @@ def recency_log_decay(L: int, tau: float, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.log(decay + 1e-8)
 
 
+def log_decay_at(idx: jnp.ndarray, L: int, tau: float,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """recency_log_decay(L, tau)[idx], computed arithmetically.
+
+    Gathering the (L,) decay vector at (B,K) positions compiles to a
+    batched element-gather that measured 4 ms/step at B=8192 on v5e;
+    the same values cost ~0 as an elementwise expression of idx.  Bit
+    equality with the table holds because both evaluate the identical
+    f32 expression per position."""
+    pos = idx.astype(dtype)
+    decay = jnp.exp(-(L - 1 - pos) / jnp.maximum(1.0, tau).astype(dtype))
+    return jnp.log(decay + 1e-8)
+
+
+def take_along_rows(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(a, idx, axis=1)`` for a (B, L) array via ONE
+    flat 1-D gather.
+
+    XLA:TPU lowers the batched 2-D form to a per-row kCustom gather
+    (5.7 ms/step at B=8192, K=60); flattening to ids ``b*L + idx``
+    makes it the same cheap 1-D row gather the embedding lookups use."""
+    B, L = a.shape
+    base = (jnp.arange(B, dtype=idx.dtype) * L)[:, None]
+    return jnp.take(a.reshape(-1), idx + base, axis=0)
+
+
 def _scores(att: jnp.ndarray, query: jnp.ndarray, seq_ids: jnp.ndarray,
             log_decay: jnp.ndarray, pad_id: int) -> jnp.ndarray:
     s = jnp.einsum("bld,bd->bl", att, query) + log_decay[None, :]
@@ -102,7 +128,7 @@ def _streaming_topk_ids(
                                   (B, chunk))], axis=1
         )
         bv, j = jax.lax.top_k(mv, K)
-        bp = jnp.take_along_axis(mp, j, axis=1)
+        bp = take_along_rows(mp, j)
         return (bv, bp), None
 
     (vals, idx), _ = jax.lax.scan(body, init, (ids_cs, dec_cs, pos0))
@@ -154,7 +180,7 @@ def dare_select_ids(
         scores = _scores(att, sg_query, seq_ids, log_decay, pad_id)
         _, idx = jax.lax.top_k(scores, K)
     idx = jax.lax.stop_gradient(idx)
-    sel_ids = jnp.take_along_axis(seq_ids, idx, axis=1)
+    sel_ids = take_along_rows(seq_ids, idx)
     return idx, sel_ids, log_decay
 
 
@@ -192,7 +218,7 @@ def dare_topk_select(
         sel_nonpad = (sel_ids != pad_id).astype(cdt)[..., None]
         att_sel = jnp.take(att_table, sel_ids, axis=0).astype(cdt) * sel_nonpad
         vals = jnp.einsum("bkd,bd->bk", att_sel, query)
-        vals = vals + jnp.take(log_decay, idx)
+        vals = vals + log_decay_at(idx, L, float(tau), cdt)
         vals = jnp.where(sel_ids == pad_id, jnp.asarray(-1e9, cdt), vals)
     else:
         # dense reference path (correctness oracle / parity testing)
@@ -200,7 +226,7 @@ def dare_topk_select(
         att = att * nonpad[..., None].astype(cdt)
         scores = _scores(att, query, seq_ids, log_decay, pad_id)
         vals, idx = jax.lax.top_k(scores, K)
-        sel_ids = jnp.take_along_axis(seq_ids, idx, axis=1)
+        sel_ids = take_along_rows(seq_ids, idx)
 
     sel_nonpad = (sel_ids != pad_id).astype(cdt)[..., None]
     sel_rep = jnp.take(rep_table, sel_ids, axis=0).astype(cdt) * sel_nonpad

@@ -157,6 +157,9 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
     use_pallas = cfg.model.use_pallas_attention
     if use_pallas is None:  # auto: fused kernel on TPU backends only
         use_pallas = jax.default_backend() == "tpu"
+    use_pallas_ffn = cfg.model.use_pallas_ffn
+    if use_pallas_ffn is None:
+        use_pallas_ffn = jax.default_backend() == "tpu"
     lookup_fn = None
     if use_explicit_exchange(cfg, mesh):
         from ..parallel.embedding import sharded_embedding_lookup
@@ -168,6 +171,7 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         se_batch_stats=bool(cfg.model.qnn_alpha.se_batch_stats),
         sparse_tables=is_sparse_mode(cfg),
         use_pallas_attn=bool(use_pallas),
+        use_pallas_ffn=bool(use_pallas_ffn),
         use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
         lookup_fn=lookup_fn,
     )
