@@ -47,28 +47,31 @@ def _data(B=8, K=12, D=16, seed=0):
     return q, k, v, bias, seed_arr
 
 
+@pytest.mark.parametrize("impl", ["loop", "packed"])
 @pytest.mark.parametrize("H", [2, 4])
 @pytest.mark.parametrize("K", [12, 8])
-def test_fused_mha_forward_matches_reference(H, K):
+def test_fused_mha_forward_matches_reference(H, K, impl):
     q, k, v, bias, seed = _data(K=K)
-    got = np.asarray(fused_mha(q, k, v, bias, seed, H, 0.0, 4, True))
+    got = np.asarray(fused_mha(q, k, v, bias, seed, H, 0.0, 4, True, impl))
     want = np.asarray(mha_reference(q, k, v, bias, H))
     assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
 
 
-def test_fused_mha_k_not_multiple_of_8():
+@pytest.mark.parametrize("impl", ["loop", "packed"])
+def test_fused_mha_k_not_multiple_of_8(impl):
     q, k, v, bias, seed = _data(B=6, K=13, D=16)
-    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True))
+    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True, impl))
     want = np.asarray(mha_reference(q, k, v, bias, 2))
     assert np.allclose(got, want, atol=2e-4)
 
 
-def test_fused_mha_gradients_match_reference():
+@pytest.mark.parametrize("impl", ["loop", "packed"])
+def test_fused_mha_gradients_match_reference(impl):
     q, k, v, bias, seed = _data(B=6, K=10, D=16)
     g_out = jnp.asarray(np.random.default_rng(1).normal(0, 1, (6, 10, 16)).astype(np.float32))
 
     def loss_pallas(q, k, v, bias):
-        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True) * g_out)
+        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True, impl) * g_out)
 
     def loss_ref(q, k, v, bias):
         return jnp.sum(mha_reference(q, k, v, bias, 2) * g_out)
@@ -88,10 +91,11 @@ def test_fused_mha_partial_batch_block():
     assert np.allclose(got, want, atol=2e-4)
 
 
-def test_fused_mha_dropout_forward_matches_masked_reference():
+@pytest.mark.parametrize("impl", ["loop", "packed"])
+def test_fused_mha_dropout_forward_matches_masked_reference(impl):
     q, k, v, bias, _ = _data(B=10, K=12, D=16)
     seed = jnp.asarray([1234], jnp.int32)
-    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.3, 4, True))
+    got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.3, 4, True, impl))
     want = np.asarray(mha_reference_dropout(q, k, v, bias, 2, 0.3, 1234))
     assert np.allclose(got, want, atol=5e-4), np.abs(got - want).max()
     # mask actually drops something and rescales
@@ -99,7 +103,8 @@ def test_fused_mha_dropout_forward_matches_masked_reference():
     assert not np.allclose(got, nodrop, atol=1e-3)
 
 
-def test_fused_mha_dropout_gradients_match_masked_reference():
+@pytest.mark.parametrize("impl", ["loop", "packed"])
+def test_fused_mha_dropout_gradients_match_masked_reference(impl):
     """The ADVICE-high regression test: backward runs with a DIFFERENT
     batch block than forward, and must still regenerate the identical
     dropout mask — gradients must equal autodiff through the
@@ -111,7 +116,7 @@ def test_fused_mha_dropout_gradients_match_masked_reference():
     )
 
     def loss_pallas(q, k, v, bias):
-        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.25, 8, True) * g_out)
+        return jnp.sum(fused_mha(q, k, v, bias, seed, 2, 0.25, 8, True, impl) * g_out)
 
     def loss_ref(q, k, v, bias):
         return jnp.sum(mha_reference_dropout(q, k, v, bias, 2, 0.25, 77) * g_out)
@@ -160,3 +165,15 @@ def test_layer_param_tree_identical_and_outputs_match():
     y_pal = l_pal.apply(p_ref, x, deterministic=True)
     y_ref = l_ref.apply(p_ref, x, deterministic=True)
     assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=5e-4)
+
+
+def test_packed_and_loop_impls_agree():
+    """The packed (head-in-M) and loop (per-head) kernels compute the
+    same function — including bit-identical dropout masks (same
+    absolute-coordinate hash)."""
+    q, k, v, bias, _ = _data(B=10, K=12, D=16)
+    seed = jnp.asarray([42], jnp.int32)
+    for p in (0.0, 0.35):
+        a = np.asarray(fused_mha(q, k, v, bias, seed, 4, p, 4, True, "loop"))
+        b = np.asarray(fused_mha(q, k, v, bias, seed, 4, p, 8, True, "packed"))
+        assert np.allclose(a, b, atol=2e-5), (p, np.abs(a - b).max())

@@ -29,6 +29,7 @@ sequential grid.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -245,6 +246,208 @@ def _attn_bwd_kernel(
         dbias_ref[...] += dbias
 
 
+def _group_mask4(g0, G: int, dh: int, D: int, dtype):
+    """(1, G, 1, D) mask: dim slices of heads g0..g0+G-1 (g0 may be a
+    traced loop index)."""
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1, D), 3)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1, D), 1) + g0
+    return (d_idx // dh == h_idx).astype(dtype)
+
+
+def _dropout_keep_packed(shape, p: float, seed, Kp: int, row0, head0):
+    """Keep-mask for a packed (bb, G*Kp, Kp) score block, evaluating
+    the SAME hash at the same absolute (row, q, k, head) coordinates as
+    ``_dropout_keep`` — packed and loop kernels produce bit-identical
+    masks (oracle: dropout_keep_reference)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0.astype(jnp.uint32)
+    hq = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    head = hq // np.uint32(Kp) + head0.astype(jnp.uint32)
+    qi = hq % np.uint32(Kp)
+    kj = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    x = (
+        r * _MIX_R + qi * _MIX_Q + kj * _MIX_K
+        + head * _MIX_H + seed.astype(jnp.uint32) * _MIX_S
+    )
+    x = _fmix32(x)
+    keep = (x >= np.uint32(int(p * (2**32)))).astype(jnp.float32)
+    return keep / (1.0 - p)
+
+
+def _packed_group_scores(q, k, bias_t, g0, G, dh, dropout_p, seed, row0):
+    """Scores for heads g0..g0+G-1, packed into the matmul ROW dim:
+    Qexp[b, g*Kp+q] = Q[b,q] ∘ m_{g0+g}, so S = Qexp K^T is ONE
+    M=G*Kp matmul per batch row instead of G M=Kp matmuls.  With
+    G*Kp = 128 the MXU sees exactly one full row pass (the per-head
+    form fills only Kp of 128 rows).  Softmax stays a plain lane
+    reduce — each packed row is one (head, query) pair.
+    -> (P fp32, Pd = P*keep, keep or None), shapes (bb, G*Kp, Kp)."""
+    bb, Kp, D = q.shape
+    scale = 1.0 / np.sqrt(dh)
+    m4 = _group_mask4(g0, G, dh, D, q.dtype)
+    qexp = (q[:, None, :, :] * m4).reshape(bb, G * Kp, D)
+    s = jax.lax.dot_general(
+        qexp, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # (bb, G*Kp, Kp)
+    s = s + bias_t  # bias_t already carries the padded-key-column mask
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_p > 0.0:
+        keep = _dropout_keep_packed(
+            p.shape, dropout_p, seed, Kp, row0, g0 * jnp.int32(1)
+        )
+        return p, p * keep, keep
+    return p, p, None
+
+
+def _packed_bias(bias, colmask_row, G: int):
+    """(1, G*Kp, Kp) fp32: head-shared bias tiled per packed head block
+    plus the padded-key-column mask."""
+    Kp = bias.shape[0]
+    bias_t = jnp.broadcast_to(
+        bias[None, :, :].astype(jnp.float32), (G, Kp, Kp)
+    ).reshape(1, G * Kp, Kp)
+    return bias_t + colmask_row
+
+
+def _attn_fwd_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
+    K: int, G: int, dropout_p: float,
+):
+    i = pl.program_id(0)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    bb, Kp, D = q.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+
+    def group(g, o):
+        g0 = g * G
+        _, pd, _ = _packed_group_scores(
+            q, k, bias_t, g0, G, dh, dropout_p, seed_ref[0], i * bb
+        )
+        o_exp = jax.lax.dot_general(
+            pd.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, G*Kp, D)
+        m4 = _group_mask4(g0, G, dh, D, jnp.float32)
+        return o + jnp.sum(o_exp.reshape(bb, G, Kp, D) * m4, axis=1)
+
+    o = jax.lax.fori_loop(0, H // G, group, jnp.zeros((bb, Kp, D), jnp.float32))
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int, G: int,
+    dropout_p: float, B_total: int,
+):
+    i = pl.program_id(0)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    bb, Kp, D = q.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, 1), 0) + i * bb
+    valid = row < B_total
+    q = jnp.where(valid, q, 0.0)
+    k = jnp.where(valid, k, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    do = jnp.where(valid, do, 0.0)
+    scale = 1.0 / np.sqrt(dh)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+
+    def group(g, carry):
+        dq, dk, dv, dbias = carry
+        g0 = g * G
+        p, pd, keep = _packed_group_scores(
+            q, k, bias_t, g0, G, dh, dropout_p, seed_ref[0], i * bb
+        )
+        m4 = _group_mask4(g0, G, dh, D, do.dtype)
+        doexp = (do[:, None, :, :] * m4).reshape(bb, G * Kp, D)
+        # dV += Pd^T dOexp (contract packed rows: K = G*Kp deep)
+        dv = dv + jax.lax.dot_general(
+            pd.astype(do.dtype), doexp, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doexp, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias = dbias + jnp.sum(ds.reshape(bb, G, Kp, Kp), axis=(0, 1))
+        ds = (ds * scale).astype(q.dtype)
+        qexp = (q[:, None, :, :] * _group_mask4(g0, G, dh, D, q.dtype)
+                ).reshape(bb, G * Kp, D)
+        # dK += dS^T Qexp (contract packed rows)
+        dk = dk + jax.lax.dot_general(
+            ds, qexp, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_exp = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, G*Kp, D)
+        dq = dq + jnp.sum(
+            dq_exp.reshape(bb, G, Kp, D) * _group_mask4(g0, G, dh, D, jnp.float32),
+            axis=1,
+        )
+        return dq, dk, dv, dbias
+
+    dq, dk, dv, dbias = jax.lax.fori_loop(
+        0, H // G, group,
+        (
+            jnp.zeros((bb, Kp, D), jnp.float32),
+            jnp.zeros((bb, Kp, D), jnp.float32),
+            jnp.zeros((bb, Kp, D), jnp.float32),
+            jnp.zeros((Kp, Kp), jnp.float32),
+        ),
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[...] = dbias
+
+    @pl.when(i != 0)
+    def _():
+        dbias_ref[...] += dbias
+
+
+def _head_group(H: int, Kp: int) -> int:
+    """Largest divisor G of H with G*Kp <= 128 (one full MXU row pass);
+    1 when Kp > 128."""
+    best = 1
+    for g in range(1, H + 1):
+        if H % g == 0 and g * Kp <= 128:
+            best = g
+    return best
+
+
+def _score_budget_bytes() -> int:
+    """Per-score-tensor VMEM budget.  Default 1 MB keeps the packed
+    kernels inside the 16 MB scoped-VMEM limit (bb=64 at G*Kp=128,
+    Kp=64 measured 16.82 MB scoped and was rejected by Mosaic; bb=32
+    fits).  When running with a raised --xla_tpu_scoped_vmem_limit_kib,
+    set TOSSCTR_ATTN_SCORE_BUDGET_MB to scale blocks up."""
+    mb = os.environ.get("TOSSCTR_ATTN_SCORE_BUDGET_MB")
+    return int(float(mb) * 1024 * 1024) if mb else 1024 * 1024
+
+
+def _adaptive_block_packed(block_b: int, B: int, Kp: int, G: int) -> int:
+    """Packed-group working set scales with G*Kp^2 fp32 per batch row;
+    size the block so one (bb, G*Kp, Kp) score tensor stays within
+    the budget (several are live at once)."""
+    cap = max(8, (_score_budget_bytes() // max(1, G * Kp * Kp * 4)) // 8 * 8)
+    return max(1, min(block_b, B, cap))
+
+
 def _pad_kdim(x, Kp):
     K = x.shape[1]
     if K == Kp:
@@ -259,18 +462,25 @@ def _adaptive_block(block_b: int, B: int, Kp: int) -> int:
     return max(1, min(block_b, B, cap))
 
 
-def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
+def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
+              impl="loop"):
     interpret = _resolve_interpret(interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
-    bb = _adaptive_block(block_b, B, Kp)
+    if impl == "packed":
+        G = _head_group(H, Kp)
+        bb = _adaptive_block_packed(block_b, B, Kp, G)
+        kern = functools.partial(_attn_fwd_kernel_packed, G=G)
+    else:
+        bb = _adaptive_block(block_b, B, Kp)
+        kern = _attn_fwd_kernel
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     grid = (_cdiv(B, bb),)
     out = pl.pallas_call(
         functools.partial(
-            _attn_fwd_kernel, H=H, dh=dh, K=K, dropout_p=float(dropout_p)
+            kern, H=H, dh=dh, K=K, dropout_p=float(dropout_p)
         ),
         grid=grid,
         in_specs=[
@@ -287,21 +497,28 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret):
     return out[:, :K, :]
 
 
-def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
+def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
+              impl="loop"):
     interpret = _resolve_interpret(interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
-    # backward carries 3 fp32 (Bb,Kp,D) accumulators on top of the fwd
+    # backward carries extra fp32 accumulators on top of the fwd
     # working set; halve the block to stay inside scoped VMEM
-    bb = max(1, _adaptive_block(block_b, B, Kp) // 2)
+    if impl == "packed":
+        G = _head_group(H, Kp)
+        bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // 2)
+        kern = functools.partial(_attn_bwd_kernel_packed, G=G)
+    else:
+        bb = max(1, _adaptive_block(block_b, B, Kp) // 2)
+        kern = _attn_bwd_kernel
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     grid = (_cdiv(B, bb),)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(
-            _attn_bwd_kernel, H=H, dh=dh, K=K, dropout_p=float(dropout_p),
+            kern, H=H, dh=dh, K=K, dropout_p=float(dropout_p),
             B_total=B,
         ),
         grid=grid,
@@ -330,34 +547,42 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret):
     return dq[:, :K], dk[:, :K], dv[:, :K], dbias[:K, :K].astype(bias.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
-              block_b: int = 32, interpret: bool = False):
+              block_b: int = 64, interpret: bool = False,
+              impl: str = "packed"):
     """softmax((QK^T)/sqrt(dh) + bias) V for all heads, fused.
 
     q/k/v: (B, K, D) packed head-major (D = n_heads * dh); bias (K, K)
     shared across heads/batch; seed: int32 array (1,) for attention
     dropout (ignored when dropout_p == 0).  Returns (B, K, D).
+
+    ``impl``: "packed" (default) packs heads into the matmul row dim —
+    ONE M=H*K dot per batch row instead of H M=K dots, ~4x the MXU row
+    occupancy at D=64; "loop" is the round-1 per-head fori_loop kernel
+    (kept as the second oracle).  Both produce bit-identical dropout
+    masks (same absolute-coordinate hash).
     """
     return _fwd_call(
         q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
 
 
-def _fused_mha_fwd(q, k, v, bias, seed, n_heads, dropout_p, block_b, interpret):
+def _fused_mha_fwd(q, k, v, bias, seed, n_heads, dropout_p, block_b,
+                   interpret, impl):
     out = _fwd_call(
         q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
     return out, (q, k, v, bias, seed)
 
 
-def _fused_mha_bwd(n_heads, dropout_p, block_b, interpret, res, g):
+def _fused_mha_bwd(n_heads, dropout_p, block_b, interpret, impl, res, g):
     q, k, v, bias, seed = res
     dq, dk, dv, dbias = _bwd_call(
         q, k, v, bias, seed, g, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
     return dq, dk, dv, dbias, jnp.zeros_like(seed)
 
