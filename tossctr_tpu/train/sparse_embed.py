@@ -89,10 +89,19 @@ def rowwise_adagrad_update(
     pad_row: Optional[int] = None,
     exact_dedup: bool = False,
     halves: int = 1,
+    rows: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RowwiseAdagradState]:
     """ids (N,) int, row_grads (N,D) — per-occurrence gradients of the
     gathered rows (duplicates allowed).  ``pad_row`` (e.g. the sequence
     pad id) never receives updates, mirroring torch's padding_idx.
+
+    ``rows`` (N,D or matching row_grads' leading shape) — the rows of
+    ``table`` at ``ids`` as already gathered by the model's forward
+    pass, reused here for the lazy weight-decay term so the update
+    needs no second 491k-row gather (measured 5.2 ms/step at B=8192).
+    Forward rows are pad-masked, which keeps ``pad_row`` decay-free —
+    exactly the torch padding_idx semantics.  Only consulted by the
+    no-sort path when ``weight_decay > 0``.
 
     ``halves > 1``: the table lane-fuses that many logical tables
     (model.fused_seq_tables — att/rep as one (V, 2D) array).  Each
@@ -141,8 +150,11 @@ def rowwise_adagrad_update(
         acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
         acc_new = acc_rows + row_g2(gu)
         scale = lr / (jnp.sqrt(acc_new) + eps)
-        rows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
-        new_rows = rows * (1.0 - lr * weight_decay) - widen(scale) * gu
+        urows = jnp.take(table, uids, axis=0, mode="fill", fill_value=0.0).astype(jnp.float32)
+        # pad_row never decays (torch padding_idx; matches the no-sort
+        # path's masked-forward-rows semantics)
+        wd_mask = (uids != pad_row)[:, None] if pad_row is not None else 1.0
+        new_rows = urows * (1.0 - lr * weight_decay * wd_mask) - widen(scale) * gu
         table = table.at[uids].set(
             new_rows.astype(table.dtype), mode="drop",
             unique_indices=True, indices_are_sorted=True,
@@ -157,8 +169,15 @@ def rowwise_adagrad_update(
     scale = lr / (jnp.sqrt(jnp.take(accum, ids, axis=0)) + eps)
     delta = -widen(scale) * g
     if weight_decay:
-        rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
-        delta = delta - (lr * weight_decay) * rows
+        if rows is None:
+            rows_f = jnp.take(table, ids, axis=0).astype(jnp.float32)
+            # match the forward gather's pad masking: padding_idx rows
+            # never decay
+            if pad_row is not None:
+                rows_f = rows_f * (ids != pad_row)[:, None]
+        else:
+            rows_f = rows.astype(jnp.float32).reshape(-1, W)
+        delta = delta - (lr * weight_decay) * rows_f
     table = table.at[ids].add(delta.astype(table.dtype))
     return table, RowwiseAdagradState(accum=accum)
 
@@ -171,14 +190,22 @@ def sparse_sgd_update(
     lr,
     weight_decay: float = 0.0,
     pad_row: Optional[int] = None,
+    rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Plain sparse SGD; duplicates handled natively by scatter-add."""
+    """Plain sparse SGD; duplicates handled natively by scatter-add.
+    ``rows``: forward-gathered (pad-masked) table rows at ``ids``,
+    reused for weight decay (see rowwise_adagrad_update)."""
     V, D = table.shape
     g = row_grads.astype(jnp.float32).reshape(-1, D)
     ids = ids.reshape(-1)
     if pad_row is not None:
         g = g * (ids != pad_row)[:, None]
     if weight_decay:
-        rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
-        g = g + weight_decay * rows
+        if rows is None:
+            rows_f = jnp.take(table, ids, axis=0).astype(jnp.float32)
+            if pad_row is not None:
+                rows_f = rows_f * (ids != pad_row)[:, None]
+        else:
+            rows_f = rows.astype(jnp.float32).reshape(-1, D)
+        g = g + weight_decay * rows_f
     return table.at[ids].add((-lr * g).astype(table.dtype))

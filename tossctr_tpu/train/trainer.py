@@ -380,10 +380,22 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                 rngs={"dropout": drop_rng},
                 mutable=["intermediates"],
             )
-            sel_ids = vo["intermediates"]["dare"]["sel_ids"][0]
-            return total_loss(z, aux, y, rank_rng), sel_ids
+            inter = vo["intermediates"]["dare"]
+            sel_ids = inter["sel_ids"][0]
+            # forward-gathered (pad-masked) rows, reused by the sparse
+            # optimizer's lazy weight decay (no second row gather);
+            # stop_gradient: they enter the update as plain values
+            if fused:
+                fwd_rows = {"emb_tables": inter["sel_rows"][0]}
+            else:
+                fwd_rows = {
+                    "emb_att": inter["att_rows_fwd"][0],
+                    "emb_rep": inter["rep_rows_fwd"][0],
+                }
+            fwd_rows = jax.lax.stop_gradient(fwd_rows)
+            return total_loss(z, aux, y, rank_rng), (sel_ids, fwd_rows)
 
-        (loss, sel_ids), (g_rest, g_perts) = jax.value_and_grad(
+        (loss, (sel_ids, fwd_rows)), (g_rest, g_perts) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(rest, perts0)
 
@@ -441,11 +453,13 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                     tables[name], table_opt[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
                     exact_dedup=exact_dedup, halves=halves,
+                    rows=fwd_rows[name],
                 )
             else:  # sparse_sgd
                 new_tables[name] = sparse_sgd_update(
                     tables[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                    rows=fwd_rows[name],
                 )
         params = insert_tables(rest, new_tables)
         return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
