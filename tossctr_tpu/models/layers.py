@@ -93,14 +93,14 @@ class MultiHeadSelfAttention(nn.Module):
         H = self.n_heads
         dh = D // H
         assert D % H == 0, "d_model must divide n_heads"
-        # project in 2-D: a (B*K, 3D) matmul keeps every intermediate in
-        # the natural row-major layout, where the 3-D nn.Dense form made
-        # XLA relayout-copy the (B, K, 3D) tensor twice per layer around
-        # the bias add (~4.6 ms/layer of pure copies in the device
-        # trace at B=8192); the reshapes below are free bitcasts
-        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="qkv")(x.reshape(B * K, D))
-        q, k, v = (s.reshape(B, K, D) for s in jnp.split(qkv, 3, axis=-1))
+        # NOTE: tried projecting in 2-D ((B*K, 3D) matmul) to avoid the
+        # 3-D relayout copies around the bias add — it backfired: XLA
+        # gives (M, 64) matmul outputs a column-major {0,1} layout, so
+        # every reshape back to (B, K, 64) materializes plus a second
+        # copy to the kernel's {2,1,0} operand layout (+29 ms/step at
+        # B=8192, bench trace r2c).  The 3-D form's copies are cheaper.
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.use_pallas:
             from ..ops.pallas_attention import fused_mha
@@ -132,9 +132,7 @@ class MultiHeadSelfAttention(nn.Module):
             w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
             o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
             o = o.transpose(0, 2, 1, 3).reshape(B, K, D)
-        out = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="out")(o.reshape(B * K, D))
-        return out.reshape(B, K, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
 
 
 class DenseParams(nn.Module):

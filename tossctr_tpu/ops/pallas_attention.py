@@ -310,22 +310,14 @@ def _packed_bias(bias, colmask_row, G: int):
     return bias_t + colmask_row
 
 
-def _attn_fwd_kernel_packed(
-    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
-    K: int, G: int, dropout_p: float,
-):
-    i = pl.program_id(0)
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
+def _packed_attend_fwd(q, k, v, bias_t, seed, row0, *, H, dh, G, dropout_p):
+    """Packed-group attention forward core -> o (bb, Kp, D) fp32."""
     bb, Kp, D = q.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
-    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
 
     def group(g, o):
         g0 = g * G
         _, pd, _ = _packed_group_scores(
-            q, k, bias_t, g0, G, dh, dropout_p, seed_ref[0], i * bb
+            q, k, bias_t, g0, G, dh, dropout_p, seed, row0
         )
         o_exp = jax.lax.dot_general(
             pd.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -334,36 +326,37 @@ def _attn_fwd_kernel_packed(
         m4 = _group_mask4(g0, G, dh, D, jnp.float32)
         return o + jnp.sum(o_exp.reshape(bb, G, Kp, D) * m4, axis=1)
 
-    o = jax.lax.fori_loop(0, H // G, group, jnp.zeros((bb, Kp, D), jnp.float32))
-    o_ref[...] = o.astype(o_ref.dtype)
+    return jax.lax.fori_loop(0, H // G, group, jnp.zeros((bb, Kp, D), jnp.float32))
 
 
-def _attn_bwd_kernel_packed(
-    q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int, G: int,
-    dropout_p: float, B_total: int,
+def _attn_fwd_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
+    K: int, G: int, dropout_p: float,
 ):
     i = pl.program_id(0)
     q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    do = do_ref[...]
     bb, Kp, D = q.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, 1), 0) + i * bb
-    valid = row < B_total
-    q = jnp.where(valid, q, 0.0)
-    k = jnp.where(valid, k, 0.0)
-    v = jnp.where(valid, v, 0.0)
-    do = jnp.where(valid, do, 0.0)
-    scale = 1.0 / np.sqrt(dh)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
     bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+    o = _packed_attend_fwd(
+        q, k_ref[...], v_ref[...], bias_t, seed_ref[0], i * bb,
+        H=H, dh=dh, G=G, dropout_p=dropout_p,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _packed_attend_bwd(q, k, v, do, bias_t, seed, row0, *, H, dh, G,
+                       dropout_p):
+    """Packed-group attention backward core
+    -> (dq, dk, dv (bb, Kp, D) fp32, dbias (Kp, Kp) fp32)."""
+    bb, Kp, D = q.shape
+    scale = 1.0 / np.sqrt(dh)
 
     def group(g, carry):
         dq, dk, dv, dbias = carry
         g0 = g * G
         p, pd, keep = _packed_group_scores(
-            q, k, bias_t, g0, G, dh, dropout_p, seed_ref[0], i * bb
+            q, k, bias_t, g0, G, dh, dropout_p, seed, row0
         )
         m4 = _group_mask4(g0, G, dh, D, do.dtype)
         doexp = (do[:, None, :, :] * m4).reshape(bb, G * Kp, D)
@@ -398,7 +391,7 @@ def _attn_bwd_kernel_packed(
         )
         return dq, dk, dv, dbias
 
-    dq, dk, dv, dbias = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, H // G, group,
         (
             jnp.zeros((bb, Kp, D), jnp.float32),
@@ -407,9 +400,156 @@ def _attn_bwd_kernel_packed(
             jnp.zeros((Kp, Kp), jnp.float32),
         ),
     )
+
+
+def _attn_bwd_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int, G: int,
+    dropout_p: float, B_total: int,
+):
+    i = pl.program_id(0)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    bb, Kp, D = q.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, 1), 0) + i * bb
+    valid = row < B_total
+    q = jnp.where(valid, q, 0.0)
+    k = jnp.where(valid, k, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    do = jnp.where(valid, do, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+    dq, dk, dv, dbias = _packed_attend_bwd(
+        q, k, v, do, bias_t, seed_ref[0], i * bb,
+        H=H, dh=dh, G=G, dropout_p=dropout_p,
+    )
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[...] = dbias
+
+    @pl.when(i != 0)
+    def _():
+        dbias_ref[...] += dbias
+
+
+def _qkv_project(x, wq, wk, wv, bq, bk, bv):
+    """In-kernel q/k/v projection: (bb, Kp, D) @ (D, D) + bias per
+    stream, computed as one M=bb*Kp MXU dot each.  NOTE: rows of x that
+    are zero (K padding / batch padding) project to the BIAS value, not
+    zero — callers mask afterwards where that matters."""
+    bb, Kp, D = x.shape
+    x2 = x.reshape(bb * Kp, D)
+
+    def proj(w, b):
+        y = jax.lax.dot_general(
+            x2, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b).astype(x.dtype).reshape(bb, Kp, D)
+
+    return proj(wq, bq), proj(wk, bk), proj(wv, bv)
+
+
+def _attn_fwd_kernel_packed_qkv(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    bias_ref, seed_ref, o_ref, *, H: int, dh: int, K: int, G: int,
+    dropout_p: float,
+):
+    """Fused qkv-projection + packed attention: the (B, K, 3D) qkv
+    tensor never exists in HBM (the 3-D XLA form spent ~4.6 ms/layer
+    on relayout copies around the bias add; a 2-D XLA form was worse —
+    see models/layers.py note)."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    bb, Kp, D = x.shape
+    q, k, v = _qkv_project(
+        x, wq_ref[...], wk_ref[...], wv_ref[...],
+        bq_ref[...], bk_ref[...], bv_ref[...],
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+    o = _packed_attend_fwd(
+        q, k, v, bias_t, seed_ref[0], i * bb,
+        H=H, dh=dh, G=G, dropout_p=dropout_p,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_packed_qkv(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    bias_ref, seed_ref, do_ref,
+    dx_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+    dbias_ref, *, H: int, dh: int, K: int, G: int,
+    dropout_p: float, B_total: int,
+):
+    """Backward of the qkv-fused forward: recomputes q/k/v from x (one
+    extra tiny dot per stream), runs the packed attention backward,
+    then folds dq/dk/dv through the projection — dX in-kernel, dW/db
+    accumulated across the sequential grid like dbias.
+
+    Padding correctness: zero rows of x project to the bias value, but
+    every such row's cotangent is zero (K-pad query rows have zero dO;
+    K-pad key/value columns are -1e9-masked; batch-pad rows are zeroed
+    here), so dq/dk/dv vanish at pad rows and dW/db see no padding
+    contribution."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    do = do_ref[...]
+    bb, Kp, D = x.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, 1), 0) + i * bb
+    valid = row < B_total
+    do = jnp.where(valid, do, 0.0)
+    x = jnp.where(valid, x, 0.0)
+    q, k, v = _qkv_project(
+        x, wq_ref[...], wk_ref[...], wv_ref[...],
+        bq_ref[...], bk_ref[...], bv_ref[...],
+    )
+    # batch-pad rows projected to the bias value: zero them so the
+    # attend core sees exactly what the unfused bwd kernel sees
+    q = jnp.where(valid, q, 0.0)
+    k = jnp.where(valid, k, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
+    dq, dk, dv, dbias = _packed_attend_bwd(
+        q, k, v, do, bias_t, seed_ref[0], i * bb,
+        H=H, dh=dh, G=G, dropout_p=dropout_p,
+    )
+    x2 = x.reshape(bb * Kp, D)
+    dx = jnp.zeros((bb * Kp, D), jnp.float32)
+    for dt, w_ref, dw_ref, db_ref in (
+        (dq, wq_ref, dwq_ref, dbq_ref),
+        (dk, wk_ref, dwk_ref, dbk_ref),
+        (dv, wv_ref, dwv_ref, dbv_ref),
+    ):
+        dt2 = dt.astype(x.dtype).reshape(bb * Kp, D)
+        dx = dx + jax.lax.dot_general(
+            dt2, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw = jax.lax.dot_general(
+            x2, dt2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, D)
+        db = jnp.sum(dt, axis=(0, 1), keepdims=False).reshape(1, D)
+
+        @pl.when(i == 0)
+        def _(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+            dw_ref[...] = dw
+            db_ref[...] = db
+
+        @pl.when(i != 0)
+        def _(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+            dw_ref[...] += dw
+            db_ref[...] += db
+
+    dx_ref[...] = dx.reshape(bb, Kp, D).astype(dx_ref.dtype)
 
     @pl.when(i == 0)
     def _():

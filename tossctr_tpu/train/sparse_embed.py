@@ -53,18 +53,32 @@ def init_rowwise_adagrad(
 def dedup_rows(
     ids: jnp.ndarray, grads: jnp.ndarray, drop_index: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort + segment-sum duplicates.  -> (uids (N,), g (N,D)) where
-    padding segments carry ``drop_index`` (to be dropped by scatter)."""
+    """Sort + segment-sum duplicates.  -> (uids (N,), g (N,D) fp32)
+    where padding segments carry ``drop_index`` (to be dropped by
+    scatter).
+
+    TPU notes (exp/update_trace_probe.py): ONE variadic sort carries
+    the permutation payload (argsort + separate gather costs ~2x); the
+    (N, D) grad permute runs in the input dtype (bf16 cotangents =
+    half the traffic of permuting after the fp32 cast); the segment
+    ops get ``indices_are_sorted=True`` — segment ids are ascending by
+    construction, and the hint removes the scatter's sorting RMW
+    penalty on TPU (sorted+unique scatter measured 3x cheaper than
+    unsorted)."""
     n = ids.shape[0]
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    g_s = grads[order]
+    ids_s, order = jax.lax.sort(
+        (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    g_s = jnp.take(grads, order, axis=0)
     first = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
-    seg = jnp.cumsum(first) - 1  # segment id per element
-    g_uniq = jax.ops.segment_sum(g_s, seg, num_segments=n)
+    seg = jnp.cumsum(first) - 1  # segment id per element, ascending
+    g_uniq = jax.ops.segment_sum(
+        g_s.astype(jnp.float32), seg, num_segments=n, indices_are_sorted=True
+    )
     # representative id per segment (ids_s at the segment's first element)
     uid = jax.ops.segment_max(
-        jnp.where(first, ids_s, jnp.iinfo(ids_s.dtype).min), seg, num_segments=n
+        jnp.where(first, ids_s, jnp.iinfo(ids_s.dtype).min), seg,
+        num_segments=n, indices_are_sorted=True,
     )
     n_unique = jnp.sum(first)
     valid = jnp.arange(n) < n_unique
@@ -124,10 +138,14 @@ def rowwise_adagrad_update(
     V, W = table.shape
     assert W % halves == 0
     Dh = W // halves
-    g = row_grads.astype(jnp.float32).reshape(-1, W)
+    # pad-mask in the cotangent dtype (0/1 multiply is exact in bf16);
+    # the fp32 cast happens after dedup's row permute so the (N, W)
+    # reorder moves half the bytes
+    g_raw = row_grads.reshape(-1, W)
     ids = ids.reshape(-1)
     if pad_row is not None:
-        g = g * (ids != pad_row)[:, None]
+        g_raw = g_raw * (ids != pad_row)[:, None].astype(g_raw.dtype)
+    g = g_raw.astype(jnp.float32)
 
     def row_g2(gr):
         """(N, W) -> per-half second moment: (N,) or (N, halves)."""
@@ -146,7 +164,7 @@ def rowwise_adagrad_update(
     if exact_dedup:
         # dedup_rows emits ids sorted ascending with the drop sentinel at
         # the tail: both scatter fast-path hints hold
-        uids, gu = dedup_rows(ids, g, drop_index=V)
+        uids, gu = dedup_rows(ids, g_raw, drop_index=V)
         acc_rows = jnp.take(state.accum, uids, axis=0, mode="fill", fill_value=0.0)
         acc_new = acc_rows + row_g2(gu)
         scale = lr / (jnp.sqrt(acc_new) + eps)
