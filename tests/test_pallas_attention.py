@@ -177,3 +177,135 @@ def test_packed_and_loop_impls_agree():
         a = np.asarray(fused_mha(q, k, v, bias, seed, 4, p, 4, True, "loop"))
         b = np.asarray(fused_mha(q, k, v, bias, seed, 4, p, 8, True, "packed"))
         assert np.allclose(a, b, atol=2e-5), (p, np.abs(a - b).max())
+
+
+# ---------------- qkv-fused kernel (fused_mha_qkv) ----------------
+
+def _qkv_data(B=10, K=12, D=16, seed=3):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (B, K, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, (D, 3 * D)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (3 * D,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.5, (K, K)).astype(np.float32))
+    return x, w, b, bias
+
+
+def _ref_qkv_then_mha(x, w, b, bias, H, p=0.0, seed=0):
+    qkv = x @ w + b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if p > 0.0:
+        return mha_reference_dropout(q, k, v, bias, H, p, seed)
+    return mha_reference(q, k, v, bias, H)
+
+
+@pytest.mark.parametrize("K", [12, 13])
+@pytest.mark.parametrize("H", [2, 4])
+def test_fused_mha_qkv_forward(H, K):
+    from tossctr_tpu.ops.pallas_attention import fused_mha_qkv
+
+    x, w, b, bias = _qkv_data(K=K)
+    seed = jnp.zeros((1,), jnp.int32)
+    got = np.asarray(fused_mha_qkv(x, w, b, bias, seed, H, 0.0, 4, True))
+    want = np.asarray(_ref_qkv_then_mha(x, w, b, bias, H))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_fused_mha_qkv_gradients_match_reference():
+    """dX, dWqkv, dbqkv and dbias against autodiff through the jnp
+    oracle — the dW/db cross-grid accumulation and the in-kernel
+    projection backward must agree with Dense-then-attention."""
+    from tossctr_tpu.ops.pallas_attention import fused_mha_qkv
+
+    x, w, b, bias = _qkv_data(B=9, K=10)
+    seed = jnp.zeros((1,), jnp.int32)
+    g_out = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (9, 10, 16)).astype(np.float32)
+    )
+
+    def loss_pallas(x, w, b, bias):
+        return jnp.sum(fused_mha_qkv(x, w, b, bias, seed, 2, 0.0, 4, True) * g_out)
+
+    def loss_ref(x, w, b, bias):
+        return jnp.sum(_ref_qkv_then_mha(x, w, b, bias, 2) * g_out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    for a, c in zip(gp, gr):
+        assert np.allclose(np.asarray(a), np.asarray(c), atol=3e-4), (
+            np.abs(np.asarray(a) - np.asarray(c)).max()
+        )
+
+
+def test_fused_mha_qkv_dropout_forward_and_grads():
+    """p>0: forward equals the masked oracle (same absolute-coordinate
+    hash as the unfused kernel) and gradients match autodiff through
+    it, with backward running at a different block size than forward."""
+    from tossctr_tpu.ops.pallas_attention import fused_mha_qkv
+
+    x, w, b, bias = _qkv_data(B=12, K=12)
+    seed = jnp.asarray([77], jnp.int32)
+    got = np.asarray(fused_mha_qkv(x, w, b, bias, seed, 2, 0.25, 8, True))
+    want = np.asarray(_ref_qkv_then_mha(x, w, b, bias, 2, p=0.25, seed=77))
+    assert np.allclose(got, want, atol=5e-4), np.abs(got - want).max()
+
+    g_out = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (12, 12, 16)).astype(np.float32)
+    )
+
+    def loss_pallas(x, w, b, bias):
+        return jnp.sum(fused_mha_qkv(x, w, b, bias, seed, 2, 0.25, 8, True) * g_out)
+
+    def loss_ref(x, w, b, bias):
+        return jnp.sum(_ref_qkv_then_mha(x, w, b, bias, 2, p=0.25, seed=77) * g_out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    for a, c in zip(gp, gr):
+        assert np.allclose(np.asarray(a), np.asarray(c), atol=6e-4), (
+            np.abs(np.asarray(a) - np.asarray(c)).max()
+        )
+
+
+def test_fused_mha_qkv_partial_batch_block():
+    """B not a multiple of the block: batch-pad rows project to the
+    qkv BIAS (not zero) and must still contribute nothing."""
+    from tossctr_tpu.ops.pallas_attention import fused_mha_qkv
+
+    x, w, b, bias = _qkv_data(B=7, K=12)
+    seed = jnp.zeros((1,), jnp.int32)
+    got = np.asarray(fused_mha_qkv(x, w, b, bias, seed, 2, 0.0, 4, True))
+    want = np.asarray(_ref_qkv_then_mha(x, w, b, bias, 2))
+    assert np.allclose(got, want, atol=2e-4)
+    g_out = jnp.ones((7, 12, 16), jnp.float32)
+
+    def loss(x, w, b, bias):
+        return jnp.sum(fused_mha_qkv(x, w, b, bias, seed, 2, 0.0, 4, True) * g_out)
+
+    def loss_ref(x, w, b, bias):
+        return jnp.sum(_ref_qkv_then_mha(x, w, b, bias, 2) * g_out)
+
+    gp = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    for a, c in zip(gp, gr):
+        assert np.allclose(np.asarray(a), np.asarray(c), atol=3e-4)
+
+
+def test_layer_fuse_qkv_param_tree_and_outputs():
+    """fuse_qkv=True vs False: identical param tree (checkpoint
+    portability) and matching outputs."""
+    from tossctr_tpu.models.layers import DAREEncoderLayer
+
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (6, 10, 16)).astype(np.float32)
+    )
+    l_fused = DAREEncoderLayer(16, 2, 0.0, 32, 0.0, "rms", True, 10,
+                               use_pallas_attn=True)
+    l_ref = DAREEncoderLayer(16, 2, 0.0, 32, 0.0, "rms", True, 10,
+                             use_pallas_attn=False)
+    p_ref = l_ref.init(jax.random.PRNGKey(0), x)
+    p_fused = l_fused.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_fused))
+    y_f = l_fused.apply(p_ref, x, deterministic=True)
+    y_r = l_ref.apply(p_ref, x, deterministic=True)
+    assert np.allclose(np.asarray(y_f), np.asarray(y_r), atol=5e-4)

@@ -85,7 +85,20 @@ class MultiHeadSelfAttention(nn.Module):
     n_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    # fold the qkv projection into the attention kernel (pallas mode
+    # only): the (B, K, 3D) qkv tensor never exists in HBM and none of
+    # the split/bias relayout copies are emitted.  Param tree identical
+    # either way (DenseParams declares the same {kernel, bias}).
+    fuse_qkv: bool = True
     dtype: Dtype = jnp.float32
+
+    def _dropout_seed(self, deterministic):
+        p = float(self.dropout) if not deterministic else 0.0
+        if p > 0.0:
+            return p, jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        return p, jnp.zeros((1,), jnp.int32)
 
     @nn.compact
     def __call__(self, x, attn_bias: Optional[jnp.ndarray] = None, deterministic: bool = True):
@@ -93,31 +106,39 @@ class MultiHeadSelfAttention(nn.Module):
         H = self.n_heads
         dh = D // H
         assert D % H == 0, "d_model must divide n_heads"
+
+        def bias2d():
+            return (
+                attn_bias.reshape(K, K).astype(self.dtype)
+                if attn_bias is not None
+                else jnp.zeros((K, K), self.dtype)
+            )
+
+        if self.use_pallas and self.fuse_qkv:
+            from ..ops.pallas_attention import fused_mha_qkv
+
+            wqkv, bqkv = DenseParams(D, 3 * D, name="qkv")()
+            p, seed = self._dropout_seed(deterministic)
+            o = fused_mha_qkv(
+                x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p
+            )
+            return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
+
         # NOTE: tried projecting in 2-D ((B*K, 3D) matmul) to avoid the
         # 3-D relayout copies around the bias add — it backfired: XLA
         # gives (M, 64) matmul outputs a column-major {0,1} layout, so
         # every reshape back to (B, K, 64) materializes plus a second
         # copy to the kernel's {2,1,0} operand layout (+29 ms/step at
-        # B=8192, bench trace r2c).  The 3-D form's copies are cheaper.
+        # B=8192, bench trace r2c).  The 3-D form's copies are cheaper;
+        # the fused_mha_qkv kernel above removes them entirely.
         qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.use_pallas:
             from ..ops.pallas_attention import fused_mha
 
-            p = float(self.dropout) if not deterministic else 0.0
-            if p > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-                )
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
-            bias2d = (
-                attn_bias.reshape(K, K).astype(self.dtype)
-                if attn_bias is not None
-                else jnp.zeros((K, K), self.dtype)
-            )
-            o = fused_mha(q, k, v, bias2d, seed, H, p)
+            p, seed = self._dropout_seed(deterministic)
+            o = fused_mha(q, k, v, bias2d(), seed, H, p)
         else:
             def heads(t):
                 return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)

@@ -1,7 +1,7 @@
 from .topk_select import dare_select_ids, dare_topk_select, recency_log_decay
 from .fm_cross import fm_cross_blocked, fm_cross_multihead
 from .pallas_kernels import dare_score_pallas, fm_cross_pallas, make_pallas_score_fn
-from .pallas_attention import fused_mha
+from .pallas_attention import fused_mha, fused_mha_qkv
 
 __all__ = [
     "dare_select_ids",
@@ -13,4 +13,5 @@ __all__ = [
     "fm_cross_pallas",
     "make_pallas_score_fn",
     "fused_mha",
+    "fused_mha_qkv",
 ]

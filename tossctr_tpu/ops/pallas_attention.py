@@ -687,6 +687,145 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
     return dq[:, :K], dk[:, :K], dv[:, :K], dbias[:K, :K].astype(bias.dtype)
 
 
+def _split_qkv_params(wqkv, bqkv, D):
+    """(D, 3D) kernel / (3D,) bias -> per-stream (D, D) and (1, D) f32
+    pieces (tiny XLA slices outside the kernel — in-kernel lane slicing
+    at 64-offsets would relayout)."""
+    wq, wk, wv = wqkv[:, :D], wqkv[:, D:2 * D], wqkv[:, 2 * D:]
+    b = bqkv.astype(jnp.float32).reshape(1, 3 * D)
+    return wq, wk, wv, b[:, :D], b[:, D:2 * D], b[:, 2 * D:]
+
+
+def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
+                  interpret):
+    interpret = _resolve_interpret(interpret)
+    B, K, D = x.shape
+    dh = D // H
+    Kp = _round_up(K, 8)
+    G = _head_group(H, Kp)
+    bb = _adaptive_block_packed(block_b, B, Kp, G)
+    xp = _pad_kdim(x, Kp)
+    biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
+    wq, wk, wv, bq, bk, bv = _split_qkv_params(wqkv, bqkv, D)
+    grid = (_cdiv(B, bb),)
+    w_spec = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_fwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
+            dropout_p=float(dropout_p),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            w_spec, w_spec, w_spec, b_spec, b_spec, b_spec,
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, D), x.dtype),
+        interpret=interpret,
+    )(xp, wq, wk, wv, bq, bk, bv, biasp, seed)
+    return out[:, :K, :]
+
+
+def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
+                  interpret):
+    interpret = _resolve_interpret(interpret)
+    B, K, D = x.shape
+    dh = D // H
+    Kp = _round_up(K, 8)
+    G = _head_group(H, Kp)
+    bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // 2)
+    xp = _pad_kdim(x, Kp)
+    dop = _pad_kdim(do, Kp)
+    biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
+    wq, wk, wv, bq, bk, bv = _split_qkv_params(wqkv, bqkv, D)
+    grid = (_cdiv(B, bb),)
+    w_spec = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dx, dwq, dwk, dwv, dbq, dbk, dbv, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
+            dropout_p=float(dropout_p), B_total=B,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            w_spec, w_spec, w_spec, b_spec, b_spec, b_spec,
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            w_spec, w_spec, w_spec, b_spec, b_spec, b_spec,
+            pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Kp, D), x.dtype),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, wq, wk, wv, bq, bk, bv, biasp, seed, dop)
+    dwqkv = jnp.concatenate([dwq, dwk, dwv], axis=1).astype(wqkv.dtype)
+    dbqkv = jnp.concatenate(
+        [dbq[0], dbk[0], dbv[0]], axis=0
+    ).astype(bqkv.dtype)
+    return (
+        dx[:, :K],
+        dwqkv,
+        dbqkv,
+        dbias[:K, :K].astype(bias.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_mha_qkv(x, wqkv, bqkv, bias, seed, n_heads: int,
+                  dropout_p: float = 0.0, block_b: int = 64,
+                  interpret: bool = False):
+    """Fused qkv-projection + multi-head attention.
+
+    x (B, K, D); wqkv (D, 3D); bqkv (3D,); bias (K, K) head-shared;
+    seed int32 (1,).  Equivalent to Dense(3D)(x) -> split -> fused_mha
+    with the packed kernel, but the (B, K, 3D) qkv tensor never exists
+    in HBM and none of the split/bias relayout copies are emitted
+    (~4.6 ms/layer measured at B=8192).  Gradients flow to x, wqkv,
+    bqkv and bias; dW/db accumulate across the sequential batch grid
+    in fp32."""
+    return _fwd_call_qkv(
+        x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+
+
+def _fused_mha_qkv_fwd(x, wqkv, bqkv, bias, seed, n_heads, dropout_p,
+                       block_b, interpret):
+    out = _fwd_call_qkv(
+        x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+    return out, (x, wqkv, bqkv, bias, seed)
+
+
+def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, res, g):
+    x, wqkv, bqkv, bias, seed = res
+    dx, dwqkv, dbqkv, dbias = _bwd_call_qkv(
+        x, wqkv, bqkv, bias, seed, g, H=n_heads, dropout_p=dropout_p,
+        block_b=block_b, interpret=interpret,
+    )
+    return dx, dwqkv, dbqkv, dbias, jnp.zeros_like(seed)
+
+
+fused_mha_qkv.defvjp(_fused_mha_qkv_fwd, _fused_mha_qkv_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
               block_b: int = 64, interpret: bool = False,
