@@ -40,9 +40,11 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
-def make_norm(name: str, dtype: Dtype = jnp.float32):
+def make_norm(kind: str, dtype: Dtype = jnp.float32, name: Optional[str] = None):
     """'rms' -> RMSNorm else LayerNorm (reference dare.py:15-18)."""
-    return RMSNorm(dtype=dtype) if name.lower() == "rms" else LayerNorm(dtype=dtype)
+    if kind.lower() == "rms":
+        return RMSNorm(dtype=dtype, name=name)
+    return LayerNorm(dtype=dtype, name=name)
 
 
 class PositionalBias(nn.Module):
@@ -90,6 +92,11 @@ class MultiHeadSelfAttention(nn.Module):
     # the split/bias relayout copies are emitted.  Param tree identical
     # either way (DenseParams declares the same {kernel, bias}).
     fuse_qkv: bool = True
+    # return (o, wout, bout) instead of applying the out projection —
+    # the caller folds it into the fused block-tail kernel; the "out"
+    # params stay declared HERE so the tree path (mha/out/{kernel,
+    # bias}) is identical in every mode
+    raw_out: bool = False
     dtype: Dtype = jnp.float32
 
     def _dropout_seed(self, deterministic):
@@ -122,6 +129,9 @@ class MultiHeadSelfAttention(nn.Module):
             o = fused_mha_qkv(
                 x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p
             )
+            if self.raw_out:
+                wout, bout = DenseParams(D, D, name="out")()
+                return o, wout, bout
             return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
 
         # NOTE: tried projecting in 2-D ((B*K, 3D) matmul) to avoid the
@@ -154,6 +164,18 @@ class MultiHeadSelfAttention(nn.Module):
             o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
             o = o.transpose(0, 2, 1, 3).reshape(B, K, D)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
+
+
+class NormParams(nn.Module):
+    """Declares RMSNorm's {w} param without computing — the norm runs
+    inside a fused Pallas kernel (ops/pallas_ffn.fused_block_tail);
+    identical param tree to RMSNorm (same guarantee as DenseParams)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("w", nn.initializers.ones, (self.dim,), jnp.float32)
 
 
 class DenseParams(nn.Module):
@@ -201,6 +223,14 @@ class DAREEncoderLayer(nn.Module):
     use_pallas_ffn: bool = False
     dtype: Dtype = jnp.float32
 
+    def _ffn_seed(self, deterministic):
+        p = float(self.ffn_dropout) if not deterministic else 0.0
+        if p > 0.0:
+            return p, jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        return p, jnp.zeros((1,), jnp.int32)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, K, D = x.shape
@@ -209,6 +239,34 @@ class DAREEncoderLayer(nn.Module):
             pb = PositionalBias(self.max_len, self.n_heads, dtype=self.dtype, name="pbias")(K, K)
             bias2d = pb.mean(axis=0)  # head-avg quirk (dare.py:60)
         bias = bias2d[None, None, :, :] if bias2d is not None else None
+
+        # fully fused path: attention core kernel + ONE block-tail
+        # kernel (out-proj, residual, norm1, FFN, residual, norm2) —
+        # nothing between them runs in XLA
+        fused_block = (
+            self.use_pallas_attn and self.use_pallas_ffn
+            and self.norm.lower() == "rms"
+        )
+        if fused_block:
+            from ..ops.pallas_ffn import fused_block_tail
+
+            o, wout, bout = MultiHeadSelfAttention(
+                self.d_model, self.n_heads, self.mha_dropout,
+                use_pallas=True, raw_out=True, dtype=self.dtype, name="mha",
+            )(x, attn_bias=bias, deterministic=deterministic)
+            wn1 = NormParams(D, name="norm1")()
+            w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
+            w2, b2 = DenseParams(self.ffn_hidden, D, name="Dense_1")()
+            wn2 = NormParams(D, name="norm2")()
+            p, seed = self._ffn_seed(deterministic)
+            y = fused_block_tail(
+                x.reshape(B * K, D), o.reshape(B * K, D),
+                wout.astype(self.dtype), bout, wn1,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, wn2,
+                seed, p,
+            )
+            return y.reshape(B, K, D)
+
         h = MultiHeadSelfAttention(
             self.d_model,
             self.n_heads,
@@ -218,19 +276,13 @@ class DAREEncoderLayer(nn.Module):
             name="mha",
         )(x, attn_bias=bias, deterministic=deterministic)
         x = x + h
-        x = make_norm(self.norm, self.dtype)(x)
+        x = make_norm(self.norm, self.dtype, name="norm1")(x)
         if self.use_pallas_ffn:
             from ..ops.pallas_ffn import fused_ffn
 
             w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
             w2, b2 = DenseParams(self.ffn_hidden, D, name="Dense_1")()
-            p = float(self.ffn_dropout) if not deterministic else 0.0
-            if p > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-                )
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
+            p, seed = self._ffn_seed(deterministic)
             h2 = fused_ffn(
                 x.reshape(B * K, D),
                 w1.astype(self.dtype), b1,
@@ -242,7 +294,7 @@ class DAREEncoderLayer(nn.Module):
             h2 = nn.Dropout(self.ffn_dropout)(h2, deterministic=deterministic)
             h2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32)(h2)
         x = x + h2
-        x = make_norm(self.norm, self.dtype)(x)
+        x = make_norm(self.norm, self.dtype, name="norm2")(x)
         return x
 
 

@@ -267,3 +267,296 @@ def ffn_reference(x, w1, b1, w2, b2, keep=None):
     if keep is not None:
         g = g * keep
     return (g @ w2.astype(jnp.float32) + b2).astype(x.dtype)
+
+
+# ------------------------------------------------------------------
+# Fused encoder-block tail: out-proj + residual + RMSNorm + FFN +
+# residual + RMSNorm in ONE kernel.
+#
+# The DARE layer between two attention cores is
+#   y1 = rmsnorm(x + o @ Wout + bout) * wn1
+#   y2 = rmsnorm(y1 + ffn(y1)) * wn2
+# XLA runs this as ~8 separate fusions per layer (out-proj bias,
+# residual adds, fp32 norm stats, norm apply, and their backwards),
+# each a full HBM round-trip over (B*K, D) — ~4 ms/layer at B=8192.
+# Here the whole tail reads x and o once and writes y2 once; backward
+# recomputes everything per tile and accumulates the seven weight/bias
+# grads across the sequential grid.  Replaces the stock residual+norm
+# +FFN stack of the reference layer (src/models/dare.py:49-70).
+# ------------------------------------------------------------------
+
+_RMS_EPS = 1e-6
+
+
+def _rms_fwd(r, wn):
+    """bf16 residual r -> (y bf16, rf f32, inv f32, y_hat f32); matches
+    models/layers.RMSNorm: stats in fp32, output cast to r.dtype."""
+    rf = r.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(rf * rf, axis=-1, keepdims=True) + _RMS_EPS)
+    y_hat = rf * inv
+    y = (wn.astype(jnp.float32) * y_hat).astype(r.dtype)
+    return y, inv, y_hat
+
+
+def _rms_bwd(dy, wn, inv, y_hat):
+    """-> (dr f32, dwn-partial (1, D) f32)."""
+    g = dy.astype(jnp.float32) * wn.astype(jnp.float32)
+    dr = inv * (g - y_hat * jnp.mean(g * y_hat, axis=-1, keepdims=True))
+    dwn = jnp.sum(dy.astype(jnp.float32) * y_hat, axis=0, keepdims=True)
+    return dr, dwn
+
+
+def _block_tail_fwd_core(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
+                         row0, dropout_p):
+    """Shared forward: returns every intermediate backward needs."""
+    a = (jax.lax.dot(
+        o, wout, preferred_element_type=jnp.float32
+    ) + bout.astype(jnp.float32)).astype(x.dtype)
+    r1 = x + a
+    y1, inv1, y_hat1 = _rms_fwd(r1, wn1)
+    h = jax.lax.dot(
+        y1, w1, preferred_element_type=jnp.float32
+    ) + b1.astype(jnp.float32)
+    g = _gelu_tanh(h)
+    keep = None
+    if dropout_p > 0.0:
+        keep = _ffn_keep(g.shape, dropout_p, seed, row0)
+        g = g * keep
+    ff = (jax.lax.dot(
+        g.astype(x.dtype), w2, preferred_element_type=jnp.float32
+    ) + b2.astype(jnp.float32)).astype(x.dtype)
+    r2 = y1 + ff
+    y2, inv2, y_hat2 = _rms_fwd(r2, wn2)
+    return a, y1, inv1, y_hat1, h, g, keep, inv2, y_hat2, y2
+
+
+def _block_tail_fwd_kernel(
+    x_ref, o_ref, wout_ref, bout_ref, wn1_ref, w1_ref, b1_ref, w2_ref,
+    b2_ref, wn2_ref, seed_ref, y_ref, *, dropout_p: float,
+):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    bn = x.shape[0]
+    *_, y2 = _block_tail_fwd_core(
+        x, o_ref[...], wout_ref[...], bout_ref[...], wn1_ref[...],
+        w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...], wn2_ref[...],
+        seed_ref[0], i * bn, dropout_p,
+    )
+    y_ref[...] = y2.astype(y_ref.dtype)
+
+
+def _block_tail_bwd_kernel(
+    x_ref, o_ref, wout_ref, bout_ref, wn1_ref, w1_ref, b1_ref, w2_ref,
+    b2_ref, wn2_ref, seed_ref, dy_ref,
+    dx_ref, do_ref, dwout_ref, dbout_ref, dwn1_ref, dw1_ref, db1_ref,
+    dw2_ref, db2_ref, dwn2_ref, *, dropout_p: float, N_total: int,
+):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    o = o_ref[...]
+    dy = dy_ref[...]
+    bn = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0) + i * bn
+    valid = row < N_total
+    x = jnp.where(valid, x, 0)
+    o = jnp.where(valid, o, 0)
+    dy = jnp.where(valid, dy, 0)
+
+    wout = wout_ref[...]
+    wn1 = wn1_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    wn2 = wn2_ref[...]
+    a, y1, inv1, y_hat1, h, g, keep, inv2, y_hat2, _ = _block_tail_fwd_core(
+        x, o, wout, bout_ref[...], wn1, w1, b1_ref[...], w2, b2_ref[...],
+        wn2, seed_ref[0], i * bn, dropout_p,
+    )
+    # norm2 backward
+    dr2, dwn2 = _rms_bwd(dy, wn2, inv2, y_hat2)
+    dr2c = dr2.astype(x.dtype)
+    # FFN backward (upstream dr2 both through ffn and the residual)
+    dw2 = jax.lax.dot_general(
+        g.astype(x.dtype), dr2c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2 = jnp.sum(dr2, axis=0, keepdims=True)
+    dg = jax.lax.dot_general(
+        dr2c, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if keep is not None:
+        dg = dg * keep
+    dh = dg * _gelu_tanh_grad(h)
+    dhc = dh.astype(x.dtype)
+    dw1 = jax.lax.dot_general(
+        y1, dhc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    dy1 = dr2 + jax.lax.dot_general(
+        dhc, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # norm1 backward
+    dr1, dwn1 = _rms_bwd(dy1.astype(x.dtype), wn1, inv1, y_hat1)
+    dr1c = dr1.astype(x.dtype)
+    # out-projection backward; dx is the pure residual path
+    dwout = jax.lax.dot_general(
+        o, dr1c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbout = jnp.sum(dr1, axis=0, keepdims=True)
+    do = jax.lax.dot_general(
+        dr1c, wout, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = dr1.astype(dx_ref.dtype)
+    do_ref[...] = do.astype(do_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dwout_ref[...] = dwout
+        dbout_ref[...] = dbout
+        dwn1_ref[...] = dwn1
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+        dwn2_ref[...] = dwn2
+
+    @pl.when(i != 0)
+    def _():
+        dwout_ref[...] += dwout
+        dbout_ref[...] += dbout
+        dwn1_ref[...] += dwn1
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+        dwn2_ref[...] += dwn2
+
+
+def _tail_specs(bn, D, F):
+    row = lambda i: (i, 0)
+    fixed = lambda i: (0, 0)
+    return dict(
+        x=pl.BlockSpec((bn, D), row, memory_space=pltpu.VMEM),
+        wdd=pl.BlockSpec((D, D), fixed, memory_space=pltpu.VMEM),
+        wdf=pl.BlockSpec((D, F), fixed, memory_space=pltpu.VMEM),
+        wfd=pl.BlockSpec((F, D), fixed, memory_space=pltpu.VMEM),
+        vd=pl.BlockSpec((1, D), fixed, memory_space=pltpu.VMEM),
+        vf=pl.BlockSpec((1, F), fixed, memory_space=pltpu.VMEM),
+        smem=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+
+
+def _tail_fwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, *,
+                   dropout_p, block_n, interpret):
+    interpret = _resolve_interpret(interpret)
+    N, D = x.shape
+    F = w1.shape[1]
+    bn = min(block_n, _round_up(N, 8))
+    Np = _round_up(N, bn)
+    sp = _tail_specs(bn, D, F)
+    out = pl.pallas_call(
+        functools.partial(_block_tail_fwd_kernel, dropout_p=float(dropout_p)),
+        grid=(_cdiv(Np, bn),),
+        in_specs=[
+            sp["x"], sp["x"], sp["wdd"], sp["vd"], sp["vd"], sp["wdf"],
+            sp["vf"], sp["wfd"], sp["vd"], sp["vd"], sp["smem"],
+        ],
+        out_specs=sp["x"],
+        out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
+        interpret=interpret,
+    )(
+        _pad_rows(x, Np), _pad_rows(o, Np), wout, bout.reshape(1, D),
+        wn1.reshape(1, D), w1, b1.reshape(1, F), w2, b2.reshape(1, D),
+        wn2.reshape(1, D), seed,
+    )
+    return out[:N]
+
+
+def _tail_bwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy, *,
+                   dropout_p, block_n, interpret):
+    interpret = _resolve_interpret(interpret)
+    N, D = x.shape
+    F = w1.shape[1]
+    bn = min(block_n, _round_up(N, 8))
+    Np = _round_up(N, bn)
+    sp = _tail_specs(bn, D, F)
+    outs = pl.pallas_call(
+        functools.partial(
+            _block_tail_bwd_kernel, dropout_p=float(dropout_p), N_total=N
+        ),
+        grid=(_cdiv(Np, bn),),
+        in_specs=[
+            sp["x"], sp["x"], sp["wdd"], sp["vd"], sp["vd"], sp["wdf"],
+            sp["vf"], sp["wfd"], sp["vd"], sp["vd"], sp["smem"], sp["x"],
+        ],
+        out_specs=[
+            sp["x"], sp["x"], sp["wdd"], sp["vd"], sp["vd"], sp["wdf"],
+            sp["vf"], sp["wfd"], sp["vd"], sp["vd"],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, D), x.dtype),
+            jax.ShapeDtypeStruct((Np, D), x.dtype),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        _pad_rows(x, Np), _pad_rows(o, Np), wout, bout.reshape(1, D),
+        wn1.reshape(1, D), w1, b1.reshape(1, F), w2, b2.reshape(1, D),
+        wn2.reshape(1, D), seed, _pad_rows(dy, Np),
+    )
+    (dx, do, dwout, dbout, dwn1, dw1, db1, dw2, db2, dwn2) = outs
+    return (
+        dx[:N], do[:N], dwout, dbout.reshape(D), dwn1.reshape(D),
+        dw1, db1.reshape(F), dw2, db2.reshape(D), dwn2.reshape(D),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def fused_block_tail(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
+                     dropout_p: float = 0.0, block_n: int = 512,
+                     interpret: bool = False):
+    """rmsnorm(y1 + ffn(y1)) * wn2 where y1 = rmsnorm(x + o@wout+bout) * wn1.
+
+    x, o: (N, D) bf16 (layer input and attention-core output); returns
+    (N, D).  The (N, F) hidden, both residuals and both fp32 norm
+    intermediates never touch HBM; all weight/bias grads accumulate in
+    fp32 across the sequential grid.  ``seed``/``dropout_p`` drive the
+    FFN hidden dropout (same counter-based hash as fused_ffn)."""
+    return _tail_fwd_call(
+        x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
+        dropout_p=dropout_p, block_n=block_n, interpret=interpret,
+    )
+
+
+def _fused_block_tail_fwd(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
+                          dropout_p, block_n, interpret):
+    y = _tail_fwd_call(
+        x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
+        dropout_p=dropout_p, block_n=block_n, interpret=interpret,
+    )
+    return y, (x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed)
+
+
+def _fused_block_tail_bwd(dropout_p, block_n, interpret, res, dy):
+    x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed = res
+    dx, do, dwout, dbout, dwn1, dw1, db1, dw2, db2, dwn2 = _tail_bwd_call(
+        x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy,
+        dropout_p=dropout_p, block_n=max(8, block_n // 2),
+        interpret=interpret,
+    )
+    return (
+        dx, do, dwout.astype(wout.dtype), dbout.astype(bout.dtype),
+        dwn1.astype(wn1.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+        dw2.astype(w2.dtype), db2.astype(b2.dtype), dwn2.astype(wn2.dtype),
+        jnp.zeros_like(seed),
+    )
+
+
+fused_block_tail.defvjp(_fused_block_tail_fwd, _fused_block_tail_bwd)
