@@ -7,59 +7,7 @@ import numpy as np
 import pytest
 
 from tossctr_tpu.ops.fm_cross import fm_cross_multihead
-from tossctr_tpu.ops.pallas_kernels import (
-    dare_score_pallas,
-    fm_cross_pallas,
-    make_pallas_score_fn,
-)
-from tossctr_tpu.ops.topk_select import dare_select_ids, recency_log_decay
-
-
-def _score_oracle(att, q, ids, log_decay, pad_id=0):
-    s = np.einsum("bld,bd->bl", att.astype(np.float32), q.astype(np.float32))
-    s = s + log_decay[None, :]
-    s[ids == pad_id] = -1e9
-    return s
-
-
-@pytest.mark.parametrize("B,L,D", [(8, 32, 16), (16, 40, 64)])
-def test_dare_score_matches_oracle(B, L, D):
-    rng = np.random.default_rng(0)
-    att = rng.normal(0, 1, (B, L, D)).astype(np.float32)
-    q = rng.normal(0, 1, (B, D)).astype(np.float32)
-    ids = rng.integers(0, 50, (B, L)).astype(np.int32)
-    ids[:, :5] = 0
-    att[ids == 0] = 0.0
-    ld = np.asarray(recency_log_decay(L, 8.0))
-    got = np.asarray(
-        dare_score_pallas(
-            jnp.asarray(att), jnp.asarray(q), jnp.asarray(ids), jnp.asarray(ld),
-            block_b=8, interpret=True,
-        )
-    )
-    want = _score_oracle(att, q, ids, ld)
-    assert np.allclose(got, want, atol=1e-4)
-
-
-def test_pallas_score_fn_in_selection():
-    """End-to-end: dare_select_ids with the pallas score_fn picks the
-    same indices as the jnp path."""
-    rng = np.random.default_rng(1)
-    V, D, B, L = 200, 16, 8, 24
-    table = rng.normal(0, 1, (V, D)).astype(np.float32)
-    table[0] = 0
-    seq = rng.integers(1, V, (B, L)).astype(np.int32)
-    seq[:, :6] = 0
-    q = rng.normal(0, 1, (B, D)).astype(np.float32)
-    idx_ref, sel_ref, _ = dare_select_ids(
-        jnp.asarray(table), jnp.asarray(seq), jnp.asarray(q), top_k=6, tau=8.0, pad_id=0
-    )
-    score_fn = make_pallas_score_fn(block_b=8, interpret=True)
-    idx_p, sel_p, _ = dare_select_ids(
-        jnp.asarray(table), jnp.asarray(seq), jnp.asarray(q), top_k=6, tau=8.0,
-        pad_id=0, score_fn=score_fn,
-    )
-    assert np.array_equal(np.asarray(sel_ref), np.asarray(sel_p))
+from tossctr_tpu.ops.pallas_kernels import fm_cross_pallas
 
 
 @pytest.mark.parametrize("B,F,D,H,R,P", [(16, 12, 16, 2, 8, 16), (8, 7, 32, 3, 4, 8)])

@@ -225,7 +225,6 @@ class CTRModel(nn.Module):
     # VMEM-fitting blocks are too small); available but off by default
     use_pallas_fm: bool = False
     emb_init_std: float = 1.0
-    score_fn: Optional[Any] = None
     # explicit sharded-lookup hook for the two DARE tables (see DARE)
     lookup_fn: Optional[Any] = None
 
@@ -314,7 +313,6 @@ class CTRModel(nn.Module):
             use_pallas_ffn=self.use_pallas_ffn,
             table_dtype=table_dtype,
             dtype=self.dtype,
-            score_fn=self.score_fn,
             lookup_fn=self.lookup_fn,
             name="dare",
         )(seq, query, deterministic=deterministic)

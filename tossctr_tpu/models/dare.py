@@ -62,7 +62,6 @@ class DARE(nn.Module):
     use_pallas_attn: bool = False
     use_pallas_ffn: bool = False
     dtype: Any = jnp.float32
-    score_fn: Optional[Any] = None  # pallas scoring kernel hook
     # lookup_fn(table, ids) -> rows: replaces plain jnp.take for table
     # reads, e.g. the explicit row-sharded exchange over the 'model'
     # mesh axis (parallel/embedding.sharded_embedding_lookup)
@@ -110,7 +109,7 @@ class DARE(nn.Module):
         idx, sel_ids, log_decay = dare_select_ids(
             sel_table, seq_ids, query,
             top_k=self.top_k, tau=self.recency_tau, pad_id=self.pad_id,
-            score_fn=self.score_fn, lookup_fn=att_lookup,
+            lookup_fn=att_lookup,
             select_chunk=self.select_chunk,
         )
         self.sow("intermediates", "sel_ids", sel_ids)

@@ -113,6 +113,9 @@ class MultiHeadSelfAttention(nn.Module):
         H = self.n_heads
         dh = D // H
         assert D % H == 0, "d_model must divide n_heads"
+        assert not self.raw_out or (self.use_pallas and self.fuse_qkv), (
+            "raw_out requires the fused-qkv pallas path"
+        )
 
         def bias2d():
             return (

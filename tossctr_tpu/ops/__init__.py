@@ -1,6 +1,6 @@
 from .topk_select import dare_select_ids, dare_topk_select, recency_log_decay
 from .fm_cross import fm_cross_blocked, fm_cross_multihead
-from .pallas_kernels import dare_score_pallas, fm_cross_pallas, make_pallas_score_fn
+from .pallas_kernels import fm_cross_pallas
 from .pallas_attention import fused_mha, fused_mha_qkv
 
 __all__ = [
@@ -9,9 +9,7 @@ __all__ = [
     "recency_log_decay",
     "fm_cross_blocked",
     "fm_cross_multihead",
-    "dare_score_pallas",
     "fm_cross_pallas",
-    "make_pallas_score_fn",
     "fused_mha",
     "fused_mha_qkv",
 ]

@@ -4,10 +4,13 @@ Each kernel has a pure-jnp oracle in this package (ops/topk_select.py,
 ops/fm_cross.py) and is tested against it in interpret mode on CPU and
 compiled on TPU (tests/test_pallas_kernels.py).
 
-``dare_score``: fused scoring pass for DARE selection — gathered att
-rows x query dot product + recency log-decay + pad masking in one VMEM
-pass, emitting only the (B, L) score matrix.  Feeds ``score_fn`` of
-ops.dare_select_ids.
+(A ``dare_score`` kernel for the DARE selection scoring pass lived
+here through round 2 and was removed: it still had to gather the full
+(B, L, D) att rows in HBM first — XLA's fused gather+dot compiles to
+the same traffic, and the device trace showed no win.  The scoring
+pass is latency-bound on the row gather itself (~12 ns/row,
+docs/DESIGN.md §2); the streaming alternative is
+ops.topk_select.select_chunk.)
 
 ``fm_cross``: QNN-alpha multi-head low-rank FM cross with custom VJP.
 The jnp path materializes A = einsum(z, U) of shape (B, H, F, R) in HBM
@@ -36,69 +39,6 @@ def _resolve_interpret(interpret: bool) -> bool:
     # compiled Mosaic kernels need a TPU; fall back to the interpreter on
     # CPU/GPU so the ops work (slowly) on any backend
     return bool(interpret) or jax.default_backend() != "tpu" 
-
-
-# ============================================================
-# dare_score
-# ============================================================
-
-
-def _dare_score_kernel(att_ref, q_ref, ids_ref, decay_ref, out_ref, *, pad_id: int):
-    att = att_ref[...]  # (Bb, L, D)
-    q = q_ref[...]  # (Bb, D)
-    ids = ids_ref[...]  # (Bb, L)
-    decay = decay_ref[...]  # (1, L)
-    s = jax.lax.dot_general(
-        att,
-        q,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (Bb, L)
-    s = s + decay.astype(jnp.float32)
-    out_ref[...] = jnp.where(ids == pad_id, jnp.asarray(-1e9, jnp.float32), s)
-
-
-def dare_score_pallas(
-    att: jnp.ndarray,
-    query: jnp.ndarray,
-    seq_ids: jnp.ndarray,
-    log_decay: jnp.ndarray,
-    pad_id: int = 0,
-    block_b: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """att (B,L,D) x query (B,D) -> masked scores (B,L) float32."""
-    interpret = _resolve_interpret(interpret)
-    B, L, D = att.shape
-    bb = min(block_b, B)
-    grid = (_cdiv(B, bb),)
-    return pl.pallas_call(
-        functools.partial(_dare_score_kernel, pad_id=pad_id),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L), jnp.float32),
-        interpret=interpret,
-    )(att, query, seq_ids, log_decay.reshape(1, L))
-
-
-def make_pallas_score_fn(block_b: int = 256, interpret: bool = False):
-    """Adapter matching ops.topk_select's ``score_fn`` signature."""
-
-    def score_fn(table, seq_ids, query, log_decay, pad_id):
-        att = jnp.take(table, seq_ids, axis=0).astype(query.dtype)
-        att = att * (seq_ids != pad_id)[..., None].astype(query.dtype)
-        return dare_score_pallas(
-            att, query, seq_ids, log_decay, pad_id=pad_id,
-            block_b=block_b, interpret=interpret,
-        )
-
-    return score_fn
 
 
 # ============================================================

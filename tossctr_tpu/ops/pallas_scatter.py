@@ -277,6 +277,10 @@ def rowwise_adagrad_sweep_update(
         delta = -scale * g
         if weight_decay:
             rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
+            # pad_row never decays (torch padding_idx; matches
+            # train/sparse_embed.rowwise_adagrad_update)
+            if pad_row is not None:
+                rows = rows * (ids != pad_row)[:, None]
             delta = delta - (lr * weight_decay) * rows
         new_accums.append(accum)
         deltas.append(delta)

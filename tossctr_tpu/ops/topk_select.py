@@ -23,8 +23,11 @@ TPU-first redesign (SURVEY.md §2.5 "fused Pallas top-k-select"):
     zero with no gradient; here lookups are multiplied by the non-pad
     mask, which both zeroes the embedding and blocks its gradient.
 
-A Pallas kernel (kernels: ops/pallas_dare.py) replaces the scoring
-pass; this jnp version remains the correctness oracle for it.
+A Pallas scoring kernel was built, measured, and REMOVED in round 2:
+it still had to gather the full (B, L, D) rows into HBM first, and
+XLA's fused gather+dot compiles to identical traffic — the pass is
+latency-bound on the row gather itself (docs/DESIGN.md §2).  The
+L-chunked ``select_chunk`` path below is the HBM-pressure option.
 """
 
 from __future__ import annotations
@@ -143,7 +146,6 @@ def dare_select_ids(
     top_k: int,
     tau: float,
     pad_id: int = 0,
-    score_fn=None,
     lookup_fn=None,
     select_chunk=None,
 ):
@@ -156,7 +158,7 @@ def dare_select_ids(
 
     ``lookup_fn(table, ids) -> rows`` optionally replaces the plain
     gather (e.g. the explicit row-sharded exchange,
-    parallel/embedding.py) and is ignored when ``score_fn`` is given."""
+    parallel/embedding.py)."""
     B, L = seq_ids.shape
     K = min(top_k, L)
     cdt = query.dtype
@@ -166,11 +168,7 @@ def dare_select_ids(
     take = lookup_fn if lookup_fn is not None else (
         lambda t, i: jnp.take(t, i, axis=0)
     )
-    if score_fn is not None:
-        scores = score_fn(sg_table, seq_ids, sg_query, log_decay, pad_id)
-        _, idx = jax.lax.top_k(scores, K)
-        sel_ids = take_along_rows(seq_ids, idx)
-    elif select_chunk and select_chunk < L:
+    if select_chunk and select_chunk < L:
         idx = _streaming_topk_ids(
             sg_table, seq_ids, sg_query, log_decay, pad_id, K,
             int(select_chunk), take,
@@ -210,14 +208,8 @@ def dare_topk_select(
     tau: float,
     pad_id: int = 0,
     sparse_backward: bool = True,
-    score_fn=None,
 ):
-    """-> (sel_rep (B,K,D), vals (B,K), sel_ids (B,K)).
-
-    ``score_fn(att_table, seq_ids, query, log_decay, pad_id) -> (B,L)``
-    optionally replaces the dense scoring pass (e.g. with a Pallas
-    kernel); it is only used under stop_gradient for index selection.
-    """
+    """-> (sel_rep (B,K,D), vals (B,K), sel_ids (B,K))."""
     B, L = seq_ids.shape
     D = att_table.shape[-1]
     K = min(top_k, L)
@@ -228,7 +220,6 @@ def dare_topk_select(
     if sparse_backward:
         idx, sel_ids, log_decay = dare_select_ids(
             att_table, seq_ids, query, top_k=top_k, tau=tau, pad_id=pad_id,
-            score_fn=score_fn,
         )
         # ---- differentiable recompute on the K selected positions ----
         sel_nonpad = (sel_ids != pad_id).astype(cdt)[..., None]
