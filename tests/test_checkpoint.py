@@ -140,3 +140,40 @@ def test_infer_multi_fold_ensemble(tmp_path):
     assert np.isfinite(out2["probs"]).all()
     # identical params in both folds -> ensembles equal single model
     assert np.allclose(out["probs"], out2["probs"], atol=1e-5)
+
+
+def test_load_migrates_pre_round2_norm_names(tmp_path):
+    """Checkpoints written before the norms got explicit names
+    (RMSNorm_0/RMSNorm_1 -> norm1/norm2) must still load; the rename
+    applies only inside encoder-layer scopes (those with an 'mha'
+    sibling), never to QNN's auto-named pre-norm."""
+    import numpy as np
+    from tossctr_tpu.train.checkpoint import load_pytree, save_pytree
+
+    new_style = {
+        "dare": {
+            "layer_0": {
+                "mha": {"qkv": {"kernel": np.ones((4, 12), np.float32)}},
+                "norm1": {"w": np.full((4,), 2.0, np.float32)},
+                "norm2": {"w": np.full((4,), 3.0, np.float32)},
+            }
+        },
+        "qnn": {"RMSNorm_0": {"w": np.full((4,), 5.0, np.float32)}},
+    }
+    # simulate the old on-disk layout
+    old_style = {
+        "dare": {
+            "layer_0": {
+                "mha": new_style["dare"]["layer_0"]["mha"],
+                "RMSNorm_0": new_style["dare"]["layer_0"]["norm1"],
+                "RMSNorm_1": new_style["dare"]["layer_0"]["norm2"],
+            }
+        },
+        "qnn": new_style["qnn"],
+    }
+    p = str(tmp_path / "params.msgpack")
+    save_pytree(p, old_style)
+    restored = load_pytree(p, new_style)
+    assert np.allclose(restored["dare"]["layer_0"]["norm1"]["w"], 2.0)
+    assert np.allclose(restored["dare"]["layer_0"]["norm2"]["w"], 3.0)
+    assert np.allclose(restored["qnn"]["RMSNorm_0"]["w"], 5.0)

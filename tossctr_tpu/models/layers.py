@@ -40,6 +40,18 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
+def dropout_seed(module: nn.Module, p: float, deterministic: bool):
+    """-> (effective p, int32 (1,) seed) for the counter-based kernel
+    dropout; draws from the module's 'dropout' rng stream only when
+    active so fused and unfused paths consume rng identically."""
+    p = float(p) if not deterministic else 0.0
+    if p > 0.0:
+        return p, jax.random.randint(
+            module.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+        )
+    return p, jnp.zeros((1,), jnp.int32)
+
+
 def make_norm(kind: str, dtype: Dtype = jnp.float32, name: Optional[str] = None):
     """'rms' -> RMSNorm else LayerNorm (reference dare.py:15-18)."""
     if kind.lower() == "rms":
@@ -99,14 +111,6 @@ class MultiHeadSelfAttention(nn.Module):
     raw_out: bool = False
     dtype: Dtype = jnp.float32
 
-    def _dropout_seed(self, deterministic):
-        p = float(self.dropout) if not deterministic else 0.0
-        if p > 0.0:
-            return p, jax.random.randint(
-                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-            )
-        return p, jnp.zeros((1,), jnp.int32)
-
     @nn.compact
     def __call__(self, x, attn_bias: Optional[jnp.ndarray] = None, deterministic: bool = True):
         B, K, D = x.shape
@@ -128,7 +132,7 @@ class MultiHeadSelfAttention(nn.Module):
             from ..ops.pallas_attention import fused_mha_qkv
 
             wqkv, bqkv = DenseParams(D, 3 * D, name="qkv")()
-            p, seed = self._dropout_seed(deterministic)
+            p, seed = dropout_seed(self, self.dropout, deterministic)
             o = fused_mha_qkv(
                 x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p
             )
@@ -150,7 +154,7 @@ class MultiHeadSelfAttention(nn.Module):
         if self.use_pallas:
             from ..ops.pallas_attention import fused_mha
 
-            p, seed = self._dropout_seed(deterministic)
+            p, seed = dropout_seed(self, self.dropout, deterministic)
             o = fused_mha(q, k, v, bias2d(), seed, H, p)
         else:
             def heads(t):
@@ -224,15 +228,12 @@ class DAREEncoderLayer(nn.Module):
     # fused VMEM FFN (ops/pallas_ffn.py): the (B*K, ffn_hidden) hidden
     # activation never hits HBM; identical param tree either way
     use_pallas_ffn: bool = False
+    # when both pallas paths are on and norm is rms, run the whole
+    # out-proj+residual+norm1+FFN+residual+norm2 stretch as ONE kernel
+    # (ops/pallas_ffn.fused_block_tail).  False = separate kernels with
+    # the SAME math and param tree (the apples-to-apples baseline).
+    fuse_block: bool = True
     dtype: Dtype = jnp.float32
-
-    def _ffn_seed(self, deterministic):
-        p = float(self.ffn_dropout) if not deterministic else 0.0
-        if p > 0.0:
-            return p, jax.random.randint(
-                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
-            )
-        return p, jnp.zeros((1,), jnp.int32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -247,7 +248,7 @@ class DAREEncoderLayer(nn.Module):
         # kernel (out-proj, residual, norm1, FFN, residual, norm2) —
         # nothing between them runs in XLA
         fused_block = (
-            self.use_pallas_attn and self.use_pallas_ffn
+            self.fuse_block and self.use_pallas_attn and self.use_pallas_ffn
             and self.norm.lower() == "rms"
         )
         if fused_block:
@@ -261,7 +262,7 @@ class DAREEncoderLayer(nn.Module):
             w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
             w2, b2 = DenseParams(self.ffn_hidden, D, name="Dense_1")()
             wn2 = NormParams(D, name="norm2")()
-            p, seed = self._ffn_seed(deterministic)
+            p, seed = dropout_seed(self, self.ffn_dropout, deterministic)
             y = fused_block_tail(
                 x.reshape(B * K, D), o.reshape(B * K, D),
                 wout.astype(self.dtype), bout, wn1,
@@ -285,7 +286,7 @@ class DAREEncoderLayer(nn.Module):
 
             w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
             w2, b2 = DenseParams(self.ffn_hidden, D, name="Dense_1")()
-            p, seed = self._ffn_seed(deterministic)
+            p, seed = dropout_seed(self, self.ffn_dropout, deterministic)
             h2 = fused_ffn(
                 x.reshape(B * K, D),
                 w1.astype(self.dtype), b1,

@@ -289,7 +289,7 @@ _RMS_EPS = 1e-6
 
 
 def _rms_fwd(r, wn):
-    """bf16 residual r -> (y bf16, rf f32, inv f32, y_hat f32); matches
+    """bf16 residual r -> (y bf16, inv f32, y_hat f32); matches
     models/layers.RMSNorm: stats in fp32, output cast to r.dtype."""
     rf = r.astype(jnp.float32)
     inv = jax.lax.rsqrt(jnp.mean(rf * rf, axis=-1, keepdims=True) + _RMS_EPS)

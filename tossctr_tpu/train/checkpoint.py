@@ -42,9 +42,32 @@ def save_pytree(path: str, tree: Any) -> None:
         f.write(serialization.msgpack_serialize(state))
 
 
+_NORM_RENAMES = {
+    "RMSNorm_0": "norm1", "RMSNorm_1": "norm2",
+    "LayerNorm_0": "norm1", "LayerNorm_1": "norm2",
+}
+
+
+def _migrate_norm_names(state):
+    """Round-2 migration: encoder-layer norms gained explicit names
+    (norm1/norm2 instead of flax auto RMSNorm_0/RMSNorm_1) so the fused
+    block-tail kernel path could share the param tree.  Rename ONLY
+    inside scopes that also contain an 'mha' sibling (the encoder
+    layers) — QNN's pre-norm keeps its auto name."""
+    if not isinstance(state, dict):
+        return state
+    out = {}
+    is_layer = "mha" in state
+    for k, v in state.items():
+        nk = _NORM_RENAMES.get(k, k) if is_layer else k
+        out[nk] = _migrate_norm_names(v)
+    return out
+
+
 def load_pytree(path: str, target: Any = None) -> Any:
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
+    state = _migrate_norm_names(state)
     if target is not None:
         return serialization.from_state_dict(target, state)
     return state

@@ -345,10 +345,15 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     # resolves to the scatter; the kernel stays opt-in
     # (train.table_update: "sweep") while the block pipeline is tuned.
     tupd = str(cfg.train.extra.get("table_update", "auto"))
+    if tupd == "sweep" and exact_dedup:
+        raise ValueError(
+            "train.table_update: 'sweep' is incompatible with "
+            "train.exact_dedup: true (the sweep kernel implements the "
+            "streaming scatter-add path) — disable one explicitly"
+        )
     use_sweep = (
         emb_opt == "rowwise_adagrad"
         and not explicit
-        and not exact_dedup
         and tupd == "sweep"
     )
 
@@ -439,6 +444,15 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
             return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
         halves = 2 if fused else 1
         for name, g_rows in grads_by_table.items():
+            # forward rows are in compute dtype; reuse them for lazy
+            # weight decay only when that loses no precision vs a fresh
+            # fp32-cast table gather (bf16 table -> bf16 rows = exact;
+            # f32 table + bf16 compute would quantize the decay term)
+            reuse = (
+                fwd_rows[name]
+                if jnp.dtype(tables[name].dtype) == jnp.dtype(fwd_rows[name].dtype)
+                else None
+            )
             if explicit:
                 from ..parallel.embedding import sharded_rowwise_adagrad_update
 
@@ -453,13 +467,13 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                     tables[name], table_opt[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
                     exact_dedup=exact_dedup, halves=halves,
-                    rows=fwd_rows[name],
+                    rows=reuse,
                 )
             else:  # sparse_sgd
                 new_tables[name] = sparse_sgd_update(
                     tables[name], sel_ids, g_rows,
                     lr=lr_t, weight_decay=wd, pad_row=pad_id,
-                    rows=fwd_rows[name],
+                    rows=reuse,
                 )
         params = insert_tables(rest, new_tables)
         return finish(params, opt_state, state.step + 1, state.ema, table_opt), loss
