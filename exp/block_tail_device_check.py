@@ -22,17 +22,23 @@ def main():
         "fused_block": DAREEncoderLayer(**kw, use_pallas_attn=True,
                                         use_pallas_ffn=True),
         "separate":    DAREEncoderLayer(**kw, use_pallas_attn=True,
-                                        use_pallas_ffn=True, norm="ln"),
+                                        use_pallas_ffn=True,
+                                        fuse_block=False),
     }
     params = mods["fused_block"].init(jax.random.PRNGKey(0), x,
                                       deterministic=True)
 
-    y = mods["fused_block"].apply(params, x[:512], deterministic=True)
-    print("fwd ok", np.asarray(y[:1, :1, :4]).astype(np.float32), flush=True)
+    ys = {
+        name: np.asarray(
+            m.apply(params, x[:512], deterministic=True)
+        ).astype(np.float32)
+        for name, m in mods.items()
+    }
+    print("deterministic maxdiff:",
+          np.abs(ys["fused_block"] - ys["separate"]).max(), flush=True)
 
     for name, m in mods.items():
-        p = params if name == "fused_block" else m.init(
-            jax.random.PRNGKey(0), x, deterministic=True)
+        p = params
 
         def loss(x, m=m, p=p):
             yy = m.apply(p, x, deterministic=False,

@@ -243,3 +243,26 @@ def test_encoder_layer_fused_block_tree_and_outputs():
         assert np.allclose(np.asarray(y), np.asarray(y0), atol=5e-4), (
             np.abs(np.asarray(y) - np.asarray(y0)).max()
         )
+
+
+def test_fuse_block_optout_same_tree_and_outputs():
+    """fuse_block=False with both pallas kernels on: separate attention
+    + FFN kernels with the SAME RMSNorm math and param tree as the
+    fused block tail."""
+    from tossctr_tpu.models.layers import DAREEncoderLayer
+
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, (4, 12, 16)).astype(np.float32)
+    )
+    kw = dict(d_model=16, n_heads=2, mha_dropout=0.0, ffn_hidden=32,
+              ffn_dropout=0.0, max_len=12, use_pallas_attn=True,
+              use_pallas_ffn=True)
+    m_fused = DAREEncoderLayer(**kw)
+    m_sep = DAREEncoderLayer(**kw, fuse_block=False)
+    v = m_fused.init(jax.random.PRNGKey(0), x, deterministic=True)
+    v2 = m_sep.init(jax.random.PRNGKey(0), x, deterministic=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+    y_f = m_fused.apply(v, x, deterministic=True)
+    y_s = m_sep.apply(v, x, deterministic=True)
+    assert np.allclose(np.asarray(y_f), np.asarray(y_s), atol=5e-4)

@@ -201,3 +201,36 @@ def test_sweep_table_update_matches_scatter(data_root):
     ta0 = d0.get("emb_tables", d0.get("emb_att"))
     ta1 = d1.get("emb_tables", d1.get("emb_att"))
     np.testing.assert_allclose(np.asarray(ta0), np.asarray(ta1), atol=1e-5)
+
+
+def test_sweep_with_exact_dedup_raises(data_root):
+    """table_update 'sweep' implements the streaming scatter-add path;
+    combining it with exact_dedup must fail loudly instead of silently
+    ignoring the sweep kernel."""
+    import jax
+    import pytest
+
+    from tossctr_tpu.train.trainer import (
+        build_model, make_optimizer, make_train_state, make_train_step,
+    )
+
+    cfg = _base_cfg(data_root, exp_name="sweepconflict")
+    cfg.train.embedding_optimizer = "rowwise_adagrad"  # sparse mode
+    cfg.train.extra["table_update"] = "sweep"
+    cfg.train.extra["exact_dedup"] = True
+    cfg.model.sparse_tables = True
+    dims = {"X_num": 5, "X_mask": 5, "X_cat": len(cfg.data.cat_cols),
+            "seq_len": 16}
+    model = build_model(cfg, dims)
+    tx, schedule = make_optimizer(cfg, 10)
+    batch = {
+        "X_num": np.zeros((8, 5), np.float32),
+        "X_mask": np.zeros((8, 5), np.float32),
+        "X_cat": np.zeros((8, len(cfg.data.cat_cols)), np.int32),
+        "seq": np.ones((8, 16), np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    state, mask = make_train_state(cfg, variables, tx)
+    with pytest.raises(ValueError, match="incompatible"):
+        make_train_step(model, tx, cfg, jax.random.PRNGKey(1),
+                        ema_mask=mask, schedule=schedule)
