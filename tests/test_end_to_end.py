@@ -107,3 +107,33 @@ def test_infer_deterministic(trained):
     a = predict_ensemble(cfg, cache)
     b = predict_ensemble(cfg, cache)
     assert np.array_equal(a["probs"], b["probs"])
+
+
+def test_flagship_combo_end_to_end(tmp_path_factory):
+    """The production TPU configuration — fused (V,2D) tables, sparse
+    rowwise-adagrad with exact dedup, pallas attention (qkv-fused) and
+    the fused block tail — through ETL -> train -> infer on CPU
+    (kernels auto-interpret).  Guards the full flagship path, not just
+    its pieces."""
+    root = str(tmp_path_factory.mktemp("e2e_flagship"))
+    write_synth_train_test(root, n_train=3000, n_test=600, seed=11)
+    cfg = _small_cfg(root)
+    cfg.train.epochs = 1
+    cfg.train.embedding_optimizer = "rowwise_adagrad"
+    cfg.train.extra["exact_dedup"] = True
+    cfg.model.fused_seq_tables = True
+    cfg.model.use_pallas_attention = True
+    cfg.model.use_pallas_ffn = True
+    build_train_and_test(cfg)
+    from tossctr_tpu.infer.predict import infer_main
+    from tossctr_tpu.train.trainer import train_main
+
+    exp_dir = train_main(cfg)
+    assert os.path.exists(os.path.join(exp_dir, "ckpt_folds_0", "meta.json"))
+    sub = infer_main(cfg)
+    with open(sub) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "ID,clicked"
+    assert len(lines) == 601
+    ps = np.asarray([float(ln.split(",")[1]) for ln in lines[1:]])
+    assert np.isfinite(ps).all() and (ps > 0).all() and (ps < 1).all()
