@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,8 +32,6 @@ L-chunked ``select_chunk`` path below is the HBM-pressure option.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
