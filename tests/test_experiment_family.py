@@ -137,3 +137,51 @@ def test_family_one_train_step(name):
     )
     state, loss = step(state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_pod_scale_stretch_one_train_step():
+    """The pod-scale stretch config (100M-row tables, B=32768, mesh
+    over data x model) builds and runs one step at shrunken shapes —
+    the same smoke contract as the reference family."""
+    import jax
+
+    from tossctr_tpu.models import build_model_spec
+    from tossctr_tpu.train.trainer import (
+        build_model, make_optimizer, make_train_state, make_train_step,
+    )
+
+    d = load_yaml_with_base(os.path.join(CFG_DIR, "pod_scale_stretch.yaml"))
+    d = deep_merge(d, {
+        "model": {"seq_vocab": 5000, "use_pallas_attention": False},
+        "train": {"batch_size": 32},
+        "sequence": {"max_len": 24, "top_k": 8},
+        "features": {"covis": {"enabled": False}},
+        "mesh": {"data": 1, "model": 1},
+    })
+    cfg = Config.from_dict(d)
+    n_num = 7
+    dims = {"X_num": n_num, "X_mask": n_num,
+            "X_cat": len(cfg.data.cat_cols), "seq_len": cfg.sequence.max_len}
+    spec = build_model_spec(cfg, dims)
+    rng = np.random.default_rng(13)
+    B = cfg.train.batch_size
+    batch = {
+        "X_num": rng.normal(0, 1, (B, n_num)).astype(np.float32),
+        "X_mask": np.zeros((B, n_num), np.float32),
+        "X_cat": np.stack(
+            [rng.integers(0, cfg.data.bucket_for(c), B) for c in cfg.data.cat_cols], 1
+        ).astype(np.int32),
+        "seq": rng.integers(0, cfg.model.seq_vocab, (B, cfg.sequence.max_len)).astype(np.int32),
+        "y": (rng.random(B) < 0.3).astype(np.float32),
+    }
+    model = build_model(cfg, dims)
+    tx, schedule = make_optimizer(cfg, 10)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        {k: v for k, v in batch.items() if k != "y"}, deterministic=True,
+    )
+    state, mask = make_train_state(cfg, variables, tx)
+    step = make_train_step(model, tx, cfg, jax.random.PRNGKey(1),
+                           ema_mask=mask, schedule=schedule)
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
