@@ -165,3 +165,22 @@ def test_ema_inside_jit():
         e = step(e, p1, jnp.asarray(s))
     assert int(e.num_updates) == 5
     assert np.all(np.asarray(e.shadow["a"]) > np.asarray(p0["a"]))
+
+
+def test_debug_nans_flag_plumbed(tmp_path):
+    """Top-level `debug_nans: true` flips jax_debug_nans at train entry
+    (the SURVEY §5 anomaly-detection equivalent); always restore."""
+    import jax
+
+    from tossctr_tpu.config import Config
+
+    assert jax.config.jax_debug_nans is False
+    d = {"exp_name": "dbg", "debug_nans": True,
+         "data": {"train_path": "x", "test_path": "y"}}
+    cfg = Config.from_dict(d)
+    assert bool(cfg.extra.get("debug_nans")) is True
+    try:
+        jax.config.update("jax_debug_nans", bool(cfg.extra["debug_nans"]))
+        assert jax.config.jax_debug_nans is True
+    finally:
+        jax.config.update("jax_debug_nans", False)

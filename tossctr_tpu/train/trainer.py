@@ -771,6 +771,14 @@ def train_main(cfg: Config) -> str:
     maybe_initialize_distributed()
     mesh = build_mesh_from_cfg(cfg)
 
+    # debug mode (SURVEY §5 "race detection / sanitizers" equivalent):
+    # jax_debug_nans recompiles un-jitted on the first non-finite value
+    # and points at the producing primitive — the TPU-native stand-in
+    # for torch anomaly detection.  Opt-in: it disables donation reuse
+    # and slows the step, so never on by default.
+    if bool(cfg.extra.get("debug_nans", False)):
+        jax.config.update("jax_debug_nans", True)
+
     os.makedirs(cfg.logging.log_dir, exist_ok=True)
     set_seed(cfg.seed, deterministic=cfg.deterministic)
     exp_dir = cfg.exp_dir()
