@@ -171,8 +171,27 @@ def main():
     batch_dev = jax.device_put(batch)
 
     t0 = time.time()
-    state, loss = train_step(state, batch_dev)
-    jax.block_until_ready(loss)
+    try:
+        state, loss = train_step(state, batch_dev)
+        jax.block_until_ready(loss)
+    except Exception as e:  # noqa: BLE001 — compile failures surface here
+        # Safety tier for unvalidated backends: retry once with the
+        # fused block-tail kernel disabled (same math, separate
+        # device-proven kernels) rather than losing the whole bench.
+        print(f"# fused block-tail failed to compile ({type(e).__name__}); "
+              "retrying with TOSSCTR_DISABLE_FUSE_BLOCK=1")
+        os.environ["TOSSCTR_DISABLE_FUSE_BLOCK"] = "1"
+        model = build_model(cfg, dims)
+        variables = model.init(
+            jax.random.PRNGKey(0), init_batch, deterministic=True
+        )
+        state, ema_mask = make_train_state(cfg, variables, tx)
+        train_step = make_train_step(
+            model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask,
+            schedule=schedule,
+        )
+        state, loss = train_step(state, batch_dev)
+        jax.block_until_ready(loss)
     print(f"# compile+step1: {time.time()-t0:.1f}s loss={float(loss):.4f}")
 
     for _ in range(args.warmup - 1):

@@ -232,8 +232,18 @@ class DAREEncoderLayer(nn.Module):
     # out-proj+residual+norm1+FFN+residual+norm2 stretch as ONE kernel
     # (ops/pallas_ffn.fused_block_tail).  False = separate kernels with
     # the SAME math and param tree (the apples-to-apples baseline).
-    fuse_block: bool = True
+    # None = on unless TOSSCTR_DISABLE_FUSE_BLOCK=1 (the escape hatch
+    # bench.py uses to retry if the fused kernel fails to compile on a
+    # backend it has not been validated against).
+    fuse_block: Optional[bool] = None
     dtype: Dtype = jnp.float32
+
+    def _fuse_block(self) -> bool:
+        import os
+
+        if self.fuse_block is not None:
+            return self.fuse_block
+        return os.environ.get("TOSSCTR_DISABLE_FUSE_BLOCK") != "1"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -248,7 +258,7 @@ class DAREEncoderLayer(nn.Module):
         # kernel (out-proj, residual, norm1, FFN, residual, norm2) —
         # nothing between them runs in XLA
         fused_block = (
-            self.fuse_block and self.use_pallas_attn and self.use_pallas_ffn
+            self._fuse_block() and self.use_pallas_attn and self.use_pallas_ffn
             and self.norm.lower() == "rms"
         )
         if fused_block:
