@@ -1,13 +1,15 @@
 """Inference: fold-checkpoint ensembling -> submission.csv
 (reference: src/infer.py:10-173).
 
-Per batch, every fold model runs a jitted forward; per-model
-calibrators map logits to probabilities on host (as in the reference,
-infer.py:109-116); probabilities are clamped to [1e-7, 1-1e-7]; a
-single model bypasses ensembling; otherwise any of the
-mean/geom/logit/median/trim/rank_avg/weighted/val_weighted methods
-combine the folds.  EMA shadows stored in a checkpoint override the raw
-params (infer.py:88-93).
+Per batch, every fold model runs a jitted forward — dispatched
+asynchronously, with one device->host transfer for the whole dataset
+(the reference syncs per batch per model, infer.py:109-116).
+Per-model calibrators then map logits to probabilities on host;
+probabilities are clamped to [1e-7, 1-1e-7]; a single model bypasses
+ensembling; otherwise any of the mean/geom/logit/median/trim/rank_avg/
+weighted/val_weighted methods combine the folds, batch-at-a-time so
+rank_avg keeps the reference's within-batch ranking.  EMA shadows
+stored in a checkpoint override the raw params (infer.py:88-93).
 """
 
 from __future__ import annotations
@@ -81,14 +83,29 @@ def predict_ensemble(
     loader = BatchIterator(
         cache, batch_size=bs, train=False, shuffle=False, drop_last=False
     )
-    all_p: List[np.ndarray] = []
+    # Phase 1 — device work, fully async: per batch, every fold model's
+    # jitted forward is dispatched without syncing (z/p stay on device),
+    # so forwards pipeline with host-side batch assembly; ONE
+    # ``jax.device_get`` moves every logit at the end (same pattern as
+    # train.trainer.run_validation; the reference transfers per batch
+    # per model, infer.py:109-116).
+    dev_zp: List[List] = []  # [batch][model] -> (z, p) device arrays
+    valids: List[np.ndarray] = []
     all_ids: List[np.ndarray] = []
     for batch in loader:
-        valid = batch.pop("valid").astype(bool)
-        ids = batch.pop("ids")
+        valids.append(np.asarray(batch.pop("valid")).astype(bool))
+        all_ids.append(batch.pop("ids"))
+        dev_zp.append([eval_step(params, batch) for params in params_list])
+    dev_zp = jax.device_get(dev_zp)
+
+    # Phase 2 — host work: calibration, clipping, and ensembling are
+    # applied per batch (rank_avg ranks within a batch in the reference;
+    # temperature/isotonic are elementwise, so batching is immaterial
+    # for the other methods).
+    all_p: List[np.ndarray] = []
+    for bi, zp in enumerate(dev_zp):
         p_list, z_list = [], []
-        for params, cal in zip(params_list, cals):
-            z, p = eval_step(params, batch)
+        for (z, p), cal in zip(zp, cals):
             z = np.asarray(z)
             p = np.asarray(p)
             if cfg.calibration.enabled and cal is not None:
@@ -103,8 +120,8 @@ def predict_ensemble(
                 method_use, p_list, z_list=z_list, weights=weights,
                 trim_ratio=float(ens.trim_ratio),
             )
-        all_p.append(np.asarray(p_ens)[valid])
-        all_ids.append(ids[valid])
+        all_p.append(np.asarray(p_ens)[valids[bi]])
+        all_ids[bi] = all_ids[bi][valids[bi]]
     return {"ids": np.concatenate(all_ids), "probs": np.concatenate(all_p)}
 
 
