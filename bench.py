@@ -142,6 +142,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from tossctr_tpu.utils.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache()
+    if cache_dir:
+        print(f"# compile cache: {cache_dir}")
     import jax.numpy as jnp
 
     from tossctr_tpu.train.trainer import (

@@ -768,6 +768,9 @@ def train_main(cfg: Config) -> str:
 
     from ..parallel.mesh import build_mesh_from_cfg, maybe_initialize_distributed
 
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     maybe_initialize_distributed()
     mesh = build_mesh_from_cfg(cfg)
 
