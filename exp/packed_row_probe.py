@@ -16,6 +16,7 @@ Measures, chained so the tunnel cannot memoize:
 """
 
 import time
+from functools import partial
 
 import numpy as np
 
@@ -41,27 +42,28 @@ def main():
         print(f"{name}: {(time.perf_counter() - t0) / iters * 1e3:.2f} ms", flush=True)
 
     for W in (128, 132, 256):
-        t = jnp.zeros((V, W), jnp.bfloat16)
-
+        # jitted fns are (re)defined per width BEFORE the table is
+        # allocated, and the scatter donates its argument: no stale
+        # closure keeps a prior width's table alive, and the scatter
+        # measures the in-place RMW rather than a copy-update.
         @jax.jit
-        def g_big(ids, t=t):
+        def g_any(ids, t):
             rows = jnp.take(t, ids, axis=0)
-            return ids + (rows[:, :1].astype(jnp.int32).reshape(-1) & 0)
+            # dependence XLA cannot constant-fold (table is all-zeros /
+            # non-negative, so min(row, 0) == 0 and the output stays
+            # `ids` — but only after the gather actually runs)
+            return ids + jnp.minimum(rows[:, :1].astype(jnp.int32).reshape(-1), 0)
 
-        @jax.jit
-        def g_small(ids, t=t):
-            rows = jnp.take(t, ids, axis=0)
-            return ids + (rows[:, :1].astype(jnp.int32).reshape(-1) & 0)
-
-        @jax.jit
+        @partial(jax.jit, donate_argnums=0)
         def s_small(t, uids=uids, W=W):
             upd = jnp.full((N, W), 0.5, jnp.bfloat16)
             return t.at[uids].set(
                 upd, mode="drop", unique_indices=True, indices_are_sorted=True
             )
 
-        chain(f"gather 3.3M x (V,{W})", g_big, ids_big)
-        chain(f"gather 491k x (V,{W})", g_small, uids)
+        t = jnp.zeros((V, W), jnp.bfloat16)
+        chain(f"gather 3.3M x (V,{W})", lambda ids, t=t: g_any(ids, t), ids_big)
+        chain(f"gather 491k x (V,{W})", lambda ids, t=t: g_any(ids, t), uids)
         chain(f"scatter-set 491k x (V,{W})", s_small, t)
         del t
 

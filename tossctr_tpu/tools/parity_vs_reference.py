@@ -1,0 +1,466 @@
+"""Head-to-head quality parity: this framework vs the PyTorch reference.
+
+The north star (BASELINE.md) demands AP/WLL/Score parity with the
+reference within run-to-run variance.  This tool produces that evidence:
+
+1. Generates a fixed synthetic Toss-shaped train parquet with planted
+   signal (``tossctr_tpu.data.synth``, independent of the run seeds).
+2. Builds ONE shard cache with this repo's ETL (``data/etl.py`` — the
+   on-disk contract is byte-compatible with the reference's
+   ``src/data/build_cache_v1.py:169-177,303-307``, and the reference's
+   ``ShardedDataset`` consumes our ``manifest.json`` unchanged).  The
+   reference's own ETL cannot run here (polars is not installed), and
+   sharing one cache removes the hash-mechanism confound entirely: both
+   frameworks train on the *identical* arrays.
+3. Computes ONE StratifiedGroupKFold split (``max(5, n_splits)``,
+   shuffle, fixed split seed — reference src/train.py:334-336) and
+   injects the same (idx_tr, idx_va) into both trainers.
+4. Per seed: runs the reference's ``src.train.train_one_fold`` verbatim
+   (imported from /root/reference, CPU torch, fp32 eager) and this
+   framework's ``train.trainer.train_one_fold`` (JAX CPU) with
+   semantically identical hyperparameters, in one or more table-update
+   modes (dense ``adamw`` = the reference-faithful optimizer; flagship
+   ``rowwise_adagrad`` = the TPU production mode).
+5. Writes ``parity.json`` + a ``PARITY.md`` report: per-seed best
+   AP/WLL/Score per framework, seed-to-seed bands, and the verdict.
+
+The reference hard-codes ``seq_vocab = 10_000_000``
+(src/train.py:116) inside ``train_one_fold``; this tool keeps the same
+vocab on our side so model capacity matches exactly (synthetic tokens
+only span a few thousand ids; the rest cost memory, not quality).
+
+Usage:
+  python -m tossctr_tpu.tools.parity_vs_reference --out runs/parity \
+      --rows 200000 --seeds 0,1,2 --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+REFERENCE_ROOT = os.environ.get("TOSSCTR_REFERENCE_ROOT", "/root/reference")
+SPLIT_SEED = 777  # split is fixed across run seeds: same folds for every run
+
+CAT_COLS = [
+    "gender", "age_group", "inventory_id", "day_of_week", "hour",
+    "l_feat_1", "l_feat_2", "l_feat_3", "l_feat_4",
+]
+HASH_BUCKETS = {
+    "gender": 11, "age_group": 13, "inventory_id": 1009, "day_of_week": 11,
+    "hour": 29, "l_feat_1": 59, "l_feat_2": 59, "l_feat_3": 59, "l_feat_4": 59,
+}
+
+
+def model_hparams(args) -> Dict:
+    """The shared hyperparameter block, rendered into both config formats."""
+    return {
+        "emb_dim": args.emb_dim,
+        "seq": {
+            "max_len": args.max_len, "top_k": args.top_k, "recency_tau": 128,
+            "query_mode": "concat", "query_key": "inventory_id", "pad_id": 0,
+            "transformer_block": True,
+            "tfm": {
+                "n_layers": 2, "n_heads": 4, "ffn_hidden": 4 * args.emb_dim,
+                "mha_dropout": 0.1, "ffn_dropout": 0.1, "norm": "rms",
+                "gating": "softmax", "add_positional_bias": True,
+            },
+        },
+        "qnn": {
+            "enabled": True, "feature_embed_dim": 8, "heads": 2, "rank": 4,
+            "proj_dim": 32, "mlp_hidden": [128, 64], "dropout": 0.1,
+            "use_se": True, "se_reduction": 4, "use_residual": True,
+            "norm": "rms", "pair_grouping": "all", "aux_head_weight": 0.1,
+        },
+        "dare_dropout": 0.1,
+        "embedding_dropout": 0.0,
+        "train": {
+            "batch_size": args.batch, "epochs": args.epochs, "lr": args.lr,
+            "weight_decay": 1e-4, "warmup_epochs": 1, "grad_clip_norm": 1.0,
+            "early_stop_patience": 10_000,
+        },
+    }
+
+
+def build_shared_cache(args) -> str:
+    """Synthetic parquet + one shard cache (our ETL).  -> manifest path."""
+    from tossctr_tpu.config import Config
+    from tossctr_tpu.data.etl import build_sharded_cache
+    from tossctr_tpu.data.synth import write_synth_parquet
+
+    data_dir = os.path.join(args.out, "data")
+    pq_path = os.path.join(data_dir, "train.parquet")
+    if not os.path.exists(pq_path):
+        write_synth_parquet(
+            pq_path, args.rows, seed=0, id_prefix="TRAIN",
+            n_inventory=500, seq_vocab=20_000, seq_len_max=args.max_len + 16,
+            n_num_feats=6, n_history=4, n_l_feats=4,
+        )
+    manifest = os.path.join(args.out, "cache", "train", "manifest.json")
+    if not os.path.exists(manifest):
+        build_sharded_cache(
+            pq_path,
+            os.path.join(args.out, "cache", "train"),
+            is_train=True,
+            target_col="clicked",
+            seq_col="seq",
+            cat_cols=CAT_COLS,
+            hash_buckets=HASH_BUCKETS,
+            hash_buckets_margin=0,
+            num_patterns=["feat_*", "history_*"],
+            max_len=args.max_len,
+            pad_id=0,
+            group_key="inventory_id",
+            shard_rows=max(50_000, args.rows // 4),
+        )
+    # silence unused-import lint for Config (kept for callers poking at cfgs)
+    _ = Config
+    return manifest
+
+
+def make_split(manifest: str, fold: int):
+    from sklearn.model_selection import StratifiedGroupKFold
+
+    from tossctr_tpu.data.dataset import load_labels_groups_for_split
+
+    y, groups = load_labels_groups_for_split(manifest)
+    sgkf = StratifiedGroupKFold(n_splits=5, shuffle=True, random_state=SPLIT_SEED)
+    for f, (tr, va) in enumerate(sgkf.split(np.zeros_like(y), y, groups)):
+        if f == fold:
+            return tr, va, y
+    raise ValueError(f"fold {fold} out of range")
+
+
+class _RecordingLogger:
+    """Duck-typed stand-in for the reference Logger: records val rows."""
+
+    def __init__(self):
+        self.rows: List[Dict] = []
+
+    def row(self, **kw):
+        self.rows.append(dict(kw))
+
+    def csv(self, **kw):
+        pass
+
+    def scalars(self, tag, step, **kw):
+        pass
+
+    def throughput(self, tag, step, examples, seconds):
+        pass
+
+    def val_history(self):
+        return [
+            {"epoch": int(r["epoch"]), "AP": float(r["AP"]), "WLL": float(r["WLL"]),
+             "Score": float(r["Score"])}
+            for r in self.rows
+            if r.get("split") == "val"
+        ]
+
+
+def reference_cfg(args, seed: int) -> Dict:
+    hp = model_hparams(args)
+    return {
+        "exp_name": f"parity_ref_s{seed}",
+        "seed": seed,
+        "device": "cpu",
+        "amp": "none",  # fp32 eager (use_amp only for bf16/fp16, train.py:133)
+        "use_compile": False,
+        "num_workers": 0,
+        "data": {
+            "cat_cols": CAT_COLS,
+            "hash_buckets": HASH_BUCKETS,
+            "hash_buckets_margin": 0,
+        },
+        "sequence": dict(hp["seq"]),
+        "model": {
+            "emb_dim": hp["emb_dim"],
+            "dare_dropout": hp["dare_dropout"],
+            "embedding_dropout": hp["embedding_dropout"],
+            "qnn_alpha": dict(hp["qnn"]),
+        },
+        "train": dict(hp["train"]),
+        "calibration": {"enabled": False},
+        "ema": {"enabled": False},
+        "sampler": {},
+    }
+
+
+def ours_cfg(args, seed: int, emb_opt: str, out_dir: str):
+    from tossctr_tpu.config import Config
+
+    hp = model_hparams(args)
+    seq = dict(hp["seq"])
+    tfm = seq.pop("tfm")
+    return Config.from_dict(
+        {
+            "exp_name": f"parity_ours_{emb_opt}_s{seed}",
+            "seed": seed,
+            "amp": "none",
+            "data": {
+                "cat_cols": CAT_COLS,
+                "hash_buckets": HASH_BUCKETS,
+                "hash_buckets_margin": 0,
+            },
+            "sequence": dict(seq, tfm=tfm),
+            "model": {
+                "emb_dim": hp["emb_dim"],
+                "seq_vocab": 10_000_000,  # matches the reference's hard-code
+                "dare_dropout": hp["dare_dropout"],
+                "embedding_dropout": hp["embedding_dropout"],
+                "qnn_alpha": dict(hp["qnn"]),
+            },
+            "train": dict(hp["train"], embedding_optimizer=emb_opt),
+            "ema": {"enabled": False},
+            "calibration": {"enabled": False},
+            "eval": {"score_formula": "reference", "device_metrics": False},
+            "cv": {"n_splits": 1, "group_key": "inventory_id"},
+            "logging": {"log_dir": out_dir, "tb": False, "csv_log": True},
+        }
+    )
+
+
+def run_reference(args, seed: int, manifest: str, idx_tr, idx_va) -> Dict:
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import torch
+
+        torch.set_num_threads(max(1, os.cpu_count() or 1))
+        from src.train import train_one_fold as ref_train_one_fold
+        from src.utils.seed import set_seed as ref_set_seed
+
+        cfg = reference_cfg(args, seed)
+        ref_set_seed(seed, deterministic=False)
+        logger = _RecordingLogger()
+        t0 = time.time()
+        best_state, best_score = ref_train_one_fold(
+            cfg, 0, idx_tr, idx_va, manifest, logger
+        )
+        hist = logger.val_history()
+        best = max(hist, key=lambda r: r["Score"])
+        return {
+            "framework": "reference_torch",
+            "seed": seed,
+            "best_score": float(best_score),
+            "best": best,
+            "history": hist,
+            "seconds": round(time.time() - t0, 1),
+        }
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+
+def run_ours(args, seed: int, emb_opt: str, manifest: str, idx_tr, idx_va) -> Dict:
+    from tossctr_tpu.train.trainer import train_one_fold
+    from tossctr_tpu.utils.log import Logger
+    from tossctr_tpu.utils.seed import set_seed
+
+    out_dir = os.path.join(args.out, "ours")
+    cfg = ours_cfg(args, seed, emb_opt, out_dir)
+    cfg.data.manifest_train = manifest
+    set_seed(seed, deterministic=False)
+    exp_dir = cfg.exp_dir()
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = _RecordingLogger()
+    _ = Logger  # rich logger kept out: recording logger captures the rows
+    t0 = time.time()
+    best = train_one_fold(cfg, 0, idx_tr, idx_va, manifest, logger)
+    hist = logger.val_history()
+    return {
+        "framework": f"ours_jax_{emb_opt}",
+        "seed": seed,
+        "best_score": float(best["score"]),
+        "best": max(hist, key=lambda r: r["Score"]),
+        "history": hist,
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
+def band(scores: List[float]) -> Dict:
+    a = np.asarray(scores, dtype=np.float64)
+    return {
+        "mean": float(a.mean()),
+        "std": float(a.std(ddof=1)) if len(a) > 1 else 0.0,
+        "min": float(a.min()),
+        "max": float(a.max()),
+        "n": len(a),
+    }
+
+
+def summarize(results: List[Dict]) -> Dict:
+    by_fw: Dict[str, List[Dict]] = {}
+    for r in results:
+        by_fw.setdefault(r["framework"], []).append(r)
+    out = {}
+    for fw, rs in by_fw.items():
+        out[fw] = {
+            "Score": band([r["best"]["Score"] for r in rs]),
+            "AP": band([r["best"]["AP"] for r in rs]),
+            "WLL": band([r["best"]["WLL"] for r in rs]),
+        }
+    return out
+
+
+def parity_verdict(summary: Dict) -> Dict:
+    """Parity iff |mean_ours - mean_ref| <= the seed band (range union or
+    2x pooled std, whichever is wider)."""
+    ref = summary.get("reference_torch")
+    verdicts = {}
+    for fw, s in summary.items():
+        if fw == "reference_torch" or ref is None:
+            continue
+        d = abs(s["Score"]["mean"] - ref["Score"]["mean"])
+        range_band = max(
+            ref["Score"]["max"] - ref["Score"]["min"],
+            s["Score"]["max"] - s["Score"]["min"],
+        )
+        pooled = 2.0 * float(
+            np.sqrt(ref["Score"]["std"] ** 2 + s["Score"]["std"] ** 2)
+        )
+        tol = max(range_band, pooled, 1e-4)
+        verdicts[fw] = {
+            "score_delta": d,
+            "tolerance": tol,
+            "parity": bool(d <= tol),
+        }
+    return verdicts
+
+
+def write_report(args, results, summary, verdicts, path: str):
+    lines = [
+        "# PARITY — tossctr_tpu vs the PyTorch reference",
+        "",
+        f"Shared synthetic dataset: {args.rows:,} rows, planted signal "
+        f"(`tossctr_tpu/data/synth.py`), ONE shard cache built by this repo's ETL "
+        "(on-disk contract identical to the reference cache — the reference's "
+        "`ShardedDataset` reads our `manifest.json` unchanged; the reference ETL "
+        "itself cannot run here because polars is not installed). "
+        "Both frameworks trained on the IDENTICAL arrays with the IDENTICAL "
+        f"StratifiedGroupKFold fold-0 split (5 folds, shuffle, split seed {SPLIT_SEED}, "
+        "reference src/train.py:334-336 semantics), so the comparison isolates "
+        "model + training quality.",
+        "",
+        f"Hyperparameters (both sides): emb_dim={args.emb_dim}, L={args.max_len}, "
+        f"K={args.top_k}, 2 transformer layers, QNN-alpha head, B={args.batch}, "
+        f"{args.epochs} epochs, lr={args.lr}, fp32, no EMA, no calibration, "
+        "seq_vocab=10M (the reference hard-codes it, src/train.py:116). "
+        "The reference ran verbatim from /root/reference via its own "
+        "`train_one_fold` (CPU torch eager); ours ran on JAX CPU.",
+        "",
+        "## Per-seed best validation metrics (best epoch by Score)",
+        "",
+        "| framework | seed | AP | WLL | Score | best epoch | wall s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        b = r["best"]
+        lines.append(
+            f"| {r['framework']} | {r['seed']} | {b['AP']:.6f} | {b['WLL']:.6f} "
+            f"| {b['Score']:.6f} | {b['epoch']} | {r['seconds']} |"
+        )
+    lines += ["", "## Seed bands", "", "| framework | Score mean | std | min | max |", "|---|---|---|---|---|"]
+    for fw, s in summary.items():
+        sc = s["Score"]
+        lines.append(
+            f"| {fw} | {sc['mean']:.6f} | {sc['std']:.6f} | {sc['min']:.6f} | {sc['max']:.6f} |"
+        )
+    lines += ["", "## Verdict", ""]
+    for fw, v in verdicts.items():
+        status = "PARITY" if v["parity"] else "OUT OF BAND"
+        lines.append(
+            f"- **{fw}**: |ΔScore| = {v['score_delta']:.6f} vs tolerance "
+            f"{v['tolerance']:.6f} (max of seed ranges and 2·pooled std) → **{status}**"
+        )
+    lines += [
+        "",
+        "Notes:",
+        "- Score = 0.5·AP + 0.5·WLL maximized literally, the reference's",
+        "  behavior (src/utils/metrics.py:26-29, src/train.py:262-263).",
+        "- `ours_jax_adamw` is the reference-faithful dense optimizer;",
+        "  `ours_jax_rowwise_adagrad` is the flagship TPU sparse-table mode",
+        "  (row-sparse updates + lazy decay) — shipped defaults.",
+        "- Remaining seed-level nondeterminism differs by design: torch and",
+        "  JAX draw init/dropout/shuffle randomness from different generators,",
+        "  which is exactly what the seed band measures.",
+        "- Our loader drops the final partial train batch per epoch",
+        "  (78 vs 79 steps at these shapes); the reference keeps it.",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/parity")
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=1.5e-3)
+    ap.add_argument("--emb-dim", type=int, default=16)
+    ap.add_argument("--max-len", type=int, default=64)
+    ap.add_argument("--top-k", type=int, default=16)
+    ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument("--ours-modes", default="adamw,rowwise_adagrad")
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--report", default=None, help="PARITY.md output path")
+    args = ap.parse_args()
+
+    # the environment force-registers a 1-chip TPU backend; parity runs on CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tossctr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    os.makedirs(args.out, exist_ok=True)
+    manifest = build_shared_cache(args)
+    idx_tr, idx_va, y = make_split(manifest, args.fold)
+    print(
+        f"# cache={manifest} rows={len(y)} fold{args.fold}: "
+        f"train={len(idx_tr)} val={len(idx_va)} pos_rate={y.mean():.4f}"
+    )
+
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    results: List[Dict] = []
+    results_path = os.path.join(args.out, "parity.json")
+
+    def checkpoint_results():
+        with open(results_path, "w") as f:
+            json.dump(
+                {"args": vars(args), "results": results,
+                 "summary": summarize(results),
+                 "verdicts": parity_verdict(summarize(results))},
+                f, indent=2,
+            )
+
+    for seed in seeds:
+        for mode in [m for m in args.ours_modes.split(",") if m]:
+            r = run_ours(args, seed, mode, manifest, idx_tr, idx_va)
+            print(f"# {r['framework']} seed={seed}: {r['best']} ({r['seconds']}s)")
+            results.append(r)
+            checkpoint_results()
+        if not args.skip_reference:
+            r = run_reference(args, seed, manifest, idx_tr, idx_va)
+            print(f"# {r['framework']} seed={seed}: {r['best']} ({r['seconds']}s)")
+            results.append(r)
+            checkpoint_results()
+
+    summary = summarize(results)
+    verdicts = parity_verdict(summary)
+    checkpoint_results()
+    report = args.report or os.path.join(args.out, "PARITY.md")
+    write_report(args, results, summary, verdicts, report)
+    print(json.dumps({"summary": summary, "verdicts": verdicts}, indent=2))
+    print(f"# report: {report}\n# json:   {results_path}")
+
+
+if __name__ == "__main__":
+    main()
