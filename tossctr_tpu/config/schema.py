@@ -280,6 +280,18 @@ class MeshConfig:
     data: int = -1
     model: int = 1
     embedding_sharding: str = "row"  # row | replicated
+    # Lookup exchange for row-sharded tables (parallel/embedding.py):
+    #   psum — mask-gather-psum (bytes independent of shard count;
+    #          best at small model-axis sizes)
+    #   a2a  — DLRM-style id exchange (all_to_all ids to owners, local
+    #          gather, all_to_all rows back; the scalable form for
+    #          large meshes)
+    exchange: str = "psum"
+    # Grouped categorical tables: "replicate" (default — they are small,
+    # reference bucket sizes are primes, and their grads ride the dense
+    # psum) or "row" (row-shard + explicit exchange; requires every
+    # group's row count divisible by the model axis).
+    cat_sharding: str = "replicate"
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -382,6 +394,10 @@ class Config:
             raise ValueError("train.batch_size and train.epochs must be positive")
         if s.top_k <= 0 or s.max_len <= 0:
             raise ValueError("sequence.top_k and sequence.max_len must be positive")
+        if self.mesh.exchange not in ("psum", "a2a"):
+            raise ValueError("mesh.exchange must be psum|a2a")
+        if self.mesh.cat_sharding not in ("replicate", "row"):
+            raise ValueError("mesh.cat_sharding must be replicate|row")
 
     # ---- convenience ----
     @property

@@ -179,6 +179,9 @@ class GroupedCatEmbedding(nn.Module):
     out_dim: int
     emb_init_std: float = 1.0
     dtype: Any = jnp.float32
+    # lookup_fn(table, ids) -> rows: explicit sharded exchange for
+    # row-sharded cat tables (mesh.cat_sharding: row); plain take else
+    lookup_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, X_cat):  # (B, Fc) int
@@ -201,7 +204,10 @@ class GroupedCatEmbedding(nn.Module):
             )
             ids = X_cat[:, np.array(g.col_idx)]  # (B, n_g)
             flat_ids = ids + jnp.asarray(g.offsets, ids.dtype)[None, :]
-            e = jnp.take(table, flat_ids, axis=0).astype(self.dtype)  # (B,n_g,d_in)
+            take = self.lookup_fn if self.lookup_fn is not None else (
+                lambda t, i: jnp.take(t, i, axis=0)
+            )
+            e = take(table, flat_ids).astype(self.dtype)  # (B,n_g,d_in)
             out = jnp.einsum(
                 "bgd,gdo->bgo", e, proj.astype(self.dtype)
             )  # (B, n_g, D)
@@ -227,6 +233,8 @@ class CTRModel(nn.Module):
     emb_init_std: float = 1.0
     # explicit sharded-lookup hook for the two DARE tables (see DARE)
     lookup_fn: Optional[Any] = None
+    # explicit sharded-lookup hook for row-sharded grouped cat tables
+    cat_lookup_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
@@ -249,7 +257,8 @@ class CTRModel(nn.Module):
         )
         cat_e = (
             GroupedCatEmbedding(
-                sp.cat_groups, D, emb_init_std=self.emb_init_std, dtype=self.dtype, name="cat_embed"
+                sp.cat_groups, D, emb_init_std=self.emb_init_std, dtype=self.dtype,
+                lookup_fn=self.cat_lookup_fn, name="cat_embed"
             )(X_cat)
             if sp.cat_cols
             else None

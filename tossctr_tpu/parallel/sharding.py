@@ -26,17 +26,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 # substrings marking row-shardable embedding tables (matches
-# train/trainer.py's optimizer labeling)
-EMB_MARKERS = ("emb_att", "emb_rep", "emb_tables", "table_")
+# train/trainer.py's optimizer labeling).  The DARE sequence tables
+# (SEQ_MARKERS) are the multi-GB memory drivers and always row-shard;
+# the grouped categorical tables (CAT_MARKER) are small (tens of MB at
+# reference bucket sizes, which are primes — never divisible by a mesh
+# axis anyway) and REPLICATE by default: their gradients ride the dense
+# psum the towers already pay, and no per-step lookup collective exists
+# at all.  ``mesh.cat_sharding: row`` opts into row-sharding + the
+# explicit exchange for genuinely huge cat tables.
+SEQ_MARKERS = ("emb_att", "emb_rep", "emb_tables")
+CAT_MARKER = "table_"
+EMB_MARKERS = SEQ_MARKERS + (CAT_MARKER,)
 
 
 def _path_name(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def spec_for_param(path, leaf, shard_embeddings: bool, model_size: int = 1) -> P:
+def spec_for_param(
+    path, leaf, shard_embeddings: bool, model_size: int = 1,
+    shard_cat_tables: bool = False,
+) -> P:
     name = _path_name(path)
-    if shard_embeddings and any(m in name for m in EMB_MARKERS):
+    is_seq = any(m in name for m in SEQ_MARKERS)
+    is_cat = CAT_MARKER in name
+    wants_shard = (is_seq and shard_embeddings) or (is_cat and shard_cat_tables)
+    if wants_shard:
         rows = leaf.shape[0] if getattr(leaf, "ndim", 0) >= 1 else 0
         if rows % max(model_size, 1):
             # row count not divisible by the model axis (e.g. a 503-row
@@ -53,18 +68,26 @@ def spec_for_param(path, leaf, shard_embeddings: bool, model_size: int = 1) -> P
     return P()  # replicated
 
 
-def param_shardings(mesh: Mesh, params: Any, shard_embeddings: bool = True):
+def param_shardings(
+    mesh: Mesh, params: Any, shard_embeddings: bool = True,
+    shard_cat_tables: bool = False,
+):
     """NamedSharding pytree for model params."""
     m = mesh.shape[MODEL_AXIS]
     shard = shard_embeddings and m > 1
+    shard_cat = shard_cat_tables and m > 1
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for_param(path, leaf, shard, m)),
+        lambda path, leaf: NamedSharding(
+            mesh, spec_for_param(path, leaf, shard, m, shard_cat)
+        ),
         params,
     )
 
 
-def state_shardings(mesh: Mesh, state: Any, params_sharding: Any):
+def state_shardings(
+    mesh: Mesh, state: Any, params_sharding: Any, shard_cat_tables: bool = False
+):
     """Shardings for a TrainState: params use the registry; optimizer /
     EMA / sparse-table-optimizer entries are resolved BY PATH with the
     same registry rules — optax moments and EMA shadows preserve the
@@ -82,8 +105,11 @@ def state_shardings(mesh: Mesh, state: Any, params_sharding: Any):
     )
 
     m = mesh.shape[MODEL_AXIS]
+    shard_cat = shard_cat_tables and m > 1
     rest = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for_param(path, leaf, shard, m)),
+        lambda path, leaf: NamedSharding(
+            mesh, spec_for_param(path, leaf, shard, m, shard_cat)
+        ),
         state._replace(params=None),
     )
     return rest._replace(params=params_sharding)

@@ -162,9 +162,35 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         use_pallas_ffn = jax.default_backend() == "tpu"
     lookup_fn = None
     if use_explicit_exchange(cfg, mesh):
+        # mesh.exchange selects the sharded-lookup form (VERDICT r2 #3):
+        # psum = mask-gather-psum; a2a = DLRM-style id exchange.
+        if cfg.mesh.exchange == "a2a":
+            from ..parallel.embedding import sharded_embedding_lookup_a2a
+
+            lookup_fn = partial(sharded_embedding_lookup_a2a, mesh=mesh)
+        else:
+            from ..parallel.embedding import sharded_embedding_lookup
+
+            lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
+    cat_lookup_fn = None
+    if (
+        mesh is not None
+        and mesh.shape.get("model", 1) > 1
+        and cfg.mesh.cat_sharding == "row"
+    ):
         from ..parallel.embedding import sharded_embedding_lookup
 
-        lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
+        m = mesh.shape["model"]
+        for g in spec.cat_groups:
+            if g.total_rows % m:
+                raise ValueError(
+                    f"mesh.cat_sharding: row requires every grouped cat "
+                    f"table's rows divisible by the model axis ({m}); "
+                    f"group d_in={g.d_in} has {g.total_rows} rows "
+                    f"(cols {g.cols}) — adjust hash_buckets/margin or use "
+                    "cat_sharding: replicate"
+                )
+        cat_lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
     return CTRModel(
         spec=spec,
         dtype=cfg.compute_dtype,
@@ -174,6 +200,7 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         use_pallas_ffn=bool(use_pallas_ffn),
         use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
         lookup_fn=lookup_fn,
+        cat_lookup_fn=cat_lookup_fn,
     )
 
 
@@ -240,8 +267,12 @@ def setup_sharded_state(cfg: Config, model: CTRModel, tx, sample, init_key, mesh
 
     state_shape = jax.eval_shape(init_state, init_key)
     shard_emb = cfg.mesh.embedding_sharding == "row"
-    p_sh = param_shardings(mesh, state_shape.params, shard_embeddings=shard_emb)
-    s_sh = state_shardings(mesh, state_shape, p_sh)
+    shard_cat = cfg.mesh.cat_sharding == "row"
+    p_sh = param_shardings(
+        mesh, state_shape.params, shard_embeddings=shard_emb,
+        shard_cat_tables=shard_cat,
+    )
+    s_sh = state_shardings(mesh, state_shape, p_sh, shard_cat_tables=shard_cat)
     state = jax.jit(init_state, out_shardings=s_sh)(init_key)
     ema_mask = (
         make_ema_mask(state_shape.params, ema_filter_for(cfg))

@@ -22,7 +22,12 @@ _enabled = False
 
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache.  Returns the
-    cache dir, or None when disabled via TOSSCTR_COMPILE_CACHE=0."""
+    cache dir, or None when disabled via TOSSCTR_COMPILE_CACHE=0.
+
+    TPU backends only by default: XLA:CPU persists AOT machine code
+    whose feature baseline may not match a later host (the loader warns
+    about possible SIGILL), and CPU compiles are cheap anyway.  Set
+    TOSSCTR_COMPILE_CACHE=<dir> explicitly to force it on CPU."""
     global _enabled
     env = os.environ.get("TOSSCTR_COMPILE_CACHE")
     if env is not None and env.lower() in ("0", "off", "false", "no"):
@@ -31,6 +36,9 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     if _enabled:
         return cache_dir
     import jax
+
+    if jax.default_backend() not in ("tpu", "axon") and not (path or env):
+        return None
 
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
