@@ -11,6 +11,7 @@ Also runs `train_main` end-to-end on a `mesh: {data: 4, model: 2}`
 config, proving the real CLI entry point trains sharded.
 """
 
+import json
 import os
 
 import jax
@@ -233,6 +234,25 @@ def test_train_main_sharded_end_to_end(tmp_path, sparse):
     with open(os.path.join(exp_dir, "train_log.csv")) as f:
         rows = [r for r in csv.DictReader(f) if r["split"] == "val"]
     assert rows and np.isfinite(float(rows[-1]["Score"]))
+
+    # pod-scale state contract (VERDICT r2 #4): the row-sharded tables
+    # were saved shard-by-shard (sharded payload, no legacy msgpack) ...
+    assert os.path.exists(os.path.join(ckpts[0], "params", "index.json"))
+    assert not os.path.exists(os.path.join(ckpts[0], "params.msgpack"))
+    with open(os.path.join(ckpts[0], "params", "index.json")) as f:
+        idx = json.load(f)
+    tbl_entries = [v for k, v in idx.items() if "emb_tables" in k or "emb_att" in k]
+    assert tbl_entries and all(e["kind"] == "sharded" for e in tbl_entries)
+
+    # ... and inference restores them INTO the mesh and ensembles
+    from tossctr_tpu.infer.predict import infer_main
+
+    sub = infer_main(cfg)
+    with open(sub) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "ID,clicked" and len(lines) == 501
+    probs = np.array([float(ln.split(",")[1]) for ln in lines[1:]])
+    assert np.isfinite(probs).all() and (probs > 0).all() and (probs < 1).all()
 
 
 def test_batch_size_mesh_divisibility_error(tmp_path):

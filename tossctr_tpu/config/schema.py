@@ -181,6 +181,11 @@ class TrainConfig:
     # after every epoch).  The reference can only resume at fold
     # boundaries (SURVEY.md §5 failure detection).
     step_checkpointing: bool = False
+    # With step_checkpointing: also save the full train state every N
+    # steps (0 = epoch end only).  Resume re-enters mid-epoch at the
+    # saved step — samplers are pure functions of (seed, fold, epoch),
+    # so the continued loss trajectory is bit-identical.
+    step_checkpoint_interval: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

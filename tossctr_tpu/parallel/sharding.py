@@ -115,6 +115,31 @@ def state_shardings(
     return rest._replace(params=params_sharding)
 
 
+def registry_shardings_fn(
+    mesh: Mesh, shard_embeddings: bool = True, shard_cat_tables: bool = False
+):
+    """-> fn(key: str, shape: tuple) -> NamedSharding, applying the same
+    registry rules as :func:`spec_for_param` to a flattened key path.
+    Used to restore sharded checkpoints straight into their mesh layout
+    without materializing params first (infer at pod scale)."""
+    m = mesh.shape[MODEL_AXIS]
+    shard = shard_embeddings and m > 1
+    shard_cat = shard_cat_tables and m > 1
+
+    class _Leaf:
+        def __init__(self, shape):
+            self.shape = tuple(shape)
+            self.ndim = len(shape)
+
+    def fn(key: str, shape) -> NamedSharding:
+        path = tuple(type("K", (), {"key": p})() for p in key.split("/"))
+        return NamedSharding(
+            mesh, spec_for_param(path, _Leaf(shape), shard, m, shard_cat)
+        )
+
+    return fn
+
+
 def batch_sharding(mesh: Mesh):
     """Batch dict sharding: leading dim over 'data'."""
     def make(spec_rank):

@@ -25,15 +25,27 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 from flax import serialization
 
+from .sharded_ckpt import (
+    _is_row_sharded,
+    is_sharded_checkpoint,
+    load_sharded_pytree,
+    save_sharded_pytree,
+)
+
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def _has_row_sharded(tree) -> bool:
+    return any(_is_row_sharded(x) for x in jax.tree_util.tree_leaves(tree))
 
 
 def save_pytree(path: str, tree: Any) -> None:
@@ -99,9 +111,22 @@ def save_fold_checkpoint(
     presence is the completeness marker that fold-skip resume keys on."""
     d = fold_ckpt_dir(exp_dir, fold)
     os.makedirs(d, exist_ok=True)
-    save_pytree(os.path.join(d, "params.msgpack"), params)
+    # Pod-scale path (VERDICT r2 #4a): row-sharded params stream out one
+    # device-shard file at a time — no full-table host pull, ever.
+    def _save(tree, name):
+        legacy, sharded = os.path.join(d, f"{name}.msgpack"), os.path.join(d, name)
+        if _has_row_sharded(tree):
+            save_sharded_pytree(sharded, tree)
+            if os.path.exists(legacy):
+                os.remove(legacy)
+        else:
+            save_pytree(legacy, tree)
+            if os.path.isdir(sharded):
+                shutil.rmtree(sharded)
+
+    _save(params, "params")
     if ema_shadow is not None:
-        save_pytree(os.path.join(d, "ema.msgpack"), ema_shadow)
+        _save(ema_shadow, "ema")
     if calibrator is not None:
         with open(os.path.join(d, "calibrator.pkl"), "wb") as f:
             pickle.dump(calibrator, f)
@@ -131,13 +156,28 @@ def finalize_fold_checkpoint(
         json.dump(meta, f, indent=2, default=str)
 
 
-def load_fold_checkpoint(ckpt_dir: str, params_target: Any = None) -> Dict:
+def load_fold_checkpoint(
+    ckpt_dir: str, params_target: Any = None, shardings_fn=None
+) -> Dict:
+    """``shardings_fn(key, shape) -> NamedSharding`` (see
+    ``parallel.sharding.registry_shardings_fn``) places sharded payload
+    entries directly onto their devices at pod scale."""
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         meta = json.load(f)
     out = dict(meta)
-    out["params"] = load_pytree(os.path.join(ckpt_dir, "params.msgpack"), params_target)
-    ema_path = os.path.join(ckpt_dir, "ema.msgpack")
-    out["ema"] = load_pytree(ema_path, None) if os.path.exists(ema_path) else None
+
+    def _load(name, target):
+        legacy = os.path.join(ckpt_dir, f"{name}.msgpack")
+        if os.path.exists(legacy):
+            return load_pytree(legacy, target)
+        sharded = os.path.join(ckpt_dir, name)
+        if is_sharded_checkpoint(sharded):
+            return load_sharded_pytree(sharded, target, shardings_fn=shardings_fn)
+        return None
+
+    out["params"] = _load("params", params_target)
+    assert out["params"] is not None, f"no params payload in {ckpt_dir}"
+    out["ema"] = _load("ema", None)
     cal_path = os.path.join(ckpt_dir, "calibrator.pkl")
     if os.path.exists(cal_path):
         with open(cal_path, "rb") as f:
@@ -160,6 +200,13 @@ def list_fold_checkpoints(exp_dir: str):
 
 def save_train_state(path: str, *, step_state: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if _has_row_sharded(step_state):
+        # pod scale: stream row-sharded leaves shard-by-shard into a
+        # directory next to the msgpack path (no full-table host pull)
+        save_sharded_pytree(path + ".sharded", step_state)
+        if os.path.exists(path):
+            os.remove(path)
+        return
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(
@@ -168,9 +215,19 @@ def save_train_state(path: str, *, step_state: Dict[str, Any]) -> None:
             )
         )
     os.replace(tmp, path)
+    if os.path.isdir(path + ".sharded"):
+        shutil.rmtree(path + ".sharded")
 
 
-def load_train_state(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
+def train_state_exists(path: str) -> bool:
+    return os.path.exists(path) or is_sharded_checkpoint(path + ".sharded")
+
+
+def load_train_state(
+    path: str, target: Dict[str, Any], shardings: Any = None
+) -> Dict[str, Any]:
+    if not os.path.exists(path) and is_sharded_checkpoint(path + ".sharded"):
+        return load_sharded_pytree(path + ".sharded", target, shardings=shardings)
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(target, state)

@@ -173,14 +173,18 @@ def load_sharded_pytree(
     dir_path: str,
     target: Any = None,
     shardings: Any = None,
+    shardings_fn=None,
 ) -> Any:
     """Restore a checkpoint written by :func:`save_sharded_pytree`.
 
     ``shardings`` (optional) is a pytree of NamedSharding matching
     ``target``; sharded entries are then placed device shard by device
     shard (``jax.make_array_from_single_device_arrays``) — the full
-    array never exists on host.  Without it, sharded entries are
-    assembled on host as numpy (fine for tests / small models).
+    array never exists on host.  ``shardings_fn(key, shape) ->
+    NamedSharding`` is the structure-free alternative (e.g.
+    ``parallel.sharding.registry_shardings_fn``) when no target tree
+    exists yet.  Without either, sharded entries are assembled on host
+    as numpy (fine for tests / small models).
     """
     with open(os.path.join(dir_path, "index.json")) as f:
         index = json.load(f)
@@ -190,6 +194,10 @@ def load_sharded_pytree(
     flat_shardings: Dict[str, Any] = {}
     if shardings is not None:
         flat_shardings = _flatten(serialization.to_state_dict(shardings))
+    elif shardings_fn is not None:
+        for key, entry in index.items():
+            if entry.get("kind") == "sharded":
+                flat_shardings[key] = shardings_fn(key, tuple(entry["shape"]))
 
     flat: Dict[str, Any] = {}
     for key, entry in index.items():

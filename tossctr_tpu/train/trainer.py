@@ -646,39 +646,86 @@ def train_one_fold(
     eval_step = make_eval_step(model)
 
     use_ema_eval = cfg.ema.enabled and cfg.ema.eval_with_ema
-    best = {"score": -1e9, "state": None, "epoch": 0, "global_step": 0, "persisted": False}
+    best = {"score": -1e9, "epoch": 0, "global_step": 0, "persisted": False}
     wait = 0
     start_epoch = 1
 
     exp_dir = cfg.exp_dir()
     state_path = os.path.join(exp_dir, f"fold_{fold}_state.msgpack")
-    if cfg.train.step_checkpointing and os.path.exists(state_path):
+    from .checkpoint import train_state_exists
+
+    resume_skip = 0
+    ckpt_every = int(cfg.train.step_checkpoint_interval or 0)
+    if cfg.train.step_checkpointing and train_state_exists(state_path):
         target = {
-            "state": state, "epoch": 0, "wait": 0,
+            "state": state, "epoch": 0, "wait": 0, "step_in_epoch": 0,
             "best_score": 0.0, "best_epoch": 0, "best_global_step": 0,
         }
-        saved = load_train_state(state_path, target)
+        saved = load_train_state(
+            state_path, target, shardings={"state": s_sh, "epoch": None,
+                                           "wait": None, "step_in_epoch": None,
+                                           "best_score": None,
+                                           "best_epoch": None,
+                                           "best_global_step": None},
+        )
         state = jax.device_put(saved["state"], s_sh)
-        start_epoch = int(saved["epoch"]) + 1
+        sie = int(saved.get("step_in_epoch", 0))
+        if sie > 0:
+            # mid-epoch save: re-enter the SAME epoch at the saved step;
+            # the sampler stream is a pure function of (seed, fold,
+            # epoch), so skipping the first `sie` batches reproduces the
+            # uninterrupted trajectory bit-exactly
+            start_epoch = int(saved["epoch"])
+            resume_skip = sie
+        else:
+            start_epoch = int(saved["epoch"]) + 1
         wait = int(saved["wait"])
         best.update(
             score=float(saved["best_score"]), epoch=int(saved["best_epoch"]),
             global_step=int(saved["best_global_step"]), persisted=True,
         )
-        logger.row(fold=fold, split="resume", epoch=start_epoch, msg="in-fold resume")
+        logger.row(
+            fold=fold, split="resume", epoch=start_epoch,
+            msg=f"in-fold resume (step {resume_skip})" if resume_skip
+            else "in-fold resume",
+        )
+
+    def _save_state(epoch: int, step_in_epoch: int):
+        save_train_state(
+            state_path,
+            step_state={
+                "state": state, "epoch": epoch, "wait": wait,
+                "step_in_epoch": step_in_epoch,
+                "best_score": best["score"], "best_epoch": best["epoch"],
+                "best_global_step": best["global_step"],
+            },
+        )
 
     for epoch in range(start_epoch, t.epochs + 1):
         tr_loader.set_epoch(epoch)
         losses = []
         t0 = time.time()
-        for batch in DevicePrefetcher(iter(tr_loader), device_put=bshard):
+        batch_it = iter(tr_loader)
+        skip = resume_skip if epoch == start_epoch else 0
+        for _ in range(skip):
+            next(batch_it)  # fast-forward the (pure) sampler stream
+        step_in_epoch = skip
+        for batch in DevicePrefetcher(batch_it, device_put=bshard):
             batch.pop("valid", None)
             state, loss = train_step(state, batch)
             losses.append(loss)
+            step_in_epoch += 1
+            if (
+                cfg.train.step_checkpointing
+                and ckpt_every > 0
+                and step_in_epoch % ckpt_every == 0
+                and step_in_epoch < steps_per_epoch
+            ):
+                _save_state(epoch, step_in_epoch)
         losses = [float(v) for v in jax.device_get(losses)]
         dt = time.time() - t0
         global_step = int(state.step)
-        examples = steps_per_epoch * t.batch_size
+        examples = (step_in_epoch - skip) * t.batch_size
         logger.throughput(f"fold{fold}", epoch, examples, dt)
 
         eval_p = (
@@ -742,49 +789,42 @@ def train_one_fold(
                 "score": float(cur),
                 "epoch": int(epoch),
                 "global_step": global_step,
-                "persisted": False,
-                "state": {
-                    "params": jax.device_get(state.params),
-                    # persist the *merged* EMA weights (mask-aware, in the
-                    # params' dtypes) — exactly the weights eval used
-                    "ema": jax.device_get(ema_params(state.ema, state.params, ema_mask))
-                    if state.ema is not None
-                    else None,
-                    "calibrator": cal,
-                    "best_score": float(cur),
-                    "epoch": int(epoch),
-                    "global_step": global_step,
-                },
+                "persisted": True,
             }
             wait = 0
-            if cfg.train.step_checkpointing:
-                # best payload written immediately (no meta.json yet): a
-                # crash after this point loses at most one epoch
-                st = best["state"]
-                save_fold_checkpoint(
-                    exp_dir, fold, params=st["params"], cfg_dict=cfg.to_dict(),
-                    best_score=st["best_score"], epoch=st["epoch"],
-                    global_step=st["global_step"], ema_shadow=st["ema"],
-                    calibrator=st["calibrator"], complete=False,
-                )
-                best["persisted"] = True
+            # The best payload is written to disk IMMEDIATELY — straight
+            # from the device state (row-sharded tables stream out
+            # shard-by-shard, checkpoint.py) — instead of the reference's
+            # host-RAM best_state copy (train.py:265-273): no 5-25 GB
+            # host pull at pod scale, and a crash after this point loses
+            # at most one epoch.  The merged EMA weights (exactly what
+            # eval used) persist as the 'ema' payload.
+            save_fold_checkpoint(
+                exp_dir, fold, params=state.params, cfg_dict=cfg.to_dict(),
+                best_score=float(cur), epoch=int(epoch),
+                global_step=global_step,
+                ema_shadow=(
+                    ema_params(state.ema, state.params, ema_mask)
+                    if state.ema is not None
+                    else None
+                ),
+                calibrator=cal, complete=False,
+            )
         else:
             wait += 1
 
         if cfg.train.step_checkpointing:
-            save_train_state(
-                state_path,
-                step_state={
-                    "state": state, "epoch": epoch, "wait": wait,
-                    "best_score": best["score"], "best_epoch": best["epoch"],
-                    "best_global_step": best["global_step"],
-                },
-            )
+            _save_state(epoch, 0)
         if wait >= t.early_stop_patience:
             break
 
-    if cfg.train.step_checkpointing and os.path.exists(state_path):
-        os.remove(state_path)
+    if cfg.train.step_checkpointing:
+        import shutil
+
+        if os.path.exists(state_path):
+            os.remove(state_path)
+        if os.path.isdir(state_path + ".sharded"):
+            shutil.rmtree(state_path + ".sharded")
     return best
 
 
@@ -839,22 +879,9 @@ def train_main(cfg: Config) -> str:
             logger.row(fold=fold, split="skip", msg="checkpoint exists (resume)")
             continue
         best = train_one_fold(cfg, fold, tr, va, manifest_path, logger, mesh=mesh)
-        st = best["state"]
-        if st is not None:
-            save_fold_checkpoint(
-                exp_dir,
-                fold,
-                params=st["params"],
-                cfg_dict=cfg.to_dict(),
-                best_score=st["best_score"],
-                epoch=st["epoch"],
-                global_step=st["global_step"],
-                ema_shadow=st["ema"],
-                calibrator=st["calibrator"],
-            )
-        elif best.get("persisted"):
-            # in-fold resume past the best epoch: the payload is already on
-            # disk from the incremental save, only the meta marker is missing
+        if best.get("persisted"):
+            # the payload was written at the best epoch (no host-RAM best
+            # copy exists); stamping meta.json completes the checkpoint
             finalize_fold_checkpoint(
                 exp_dir, fold, cfg_dict=cfg.to_dict(), best_score=best["score"],
                 epoch=best["epoch"], global_step=best["global_step"],
