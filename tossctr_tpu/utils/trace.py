@@ -135,3 +135,25 @@ def top_ops(trace_path: str, n: int = 15) -> List[Tuple[str, float]]:
         name = str(e.get("name", ""))
         by_name[name] = by_name.get(name, 0.0) + float(e.get("dur", 0.0)) / 1e3
     return sorted(by_name.items(), key=lambda kv: -kv[1])[:n]
+
+
+def top_ops_detailed(
+    trace_path: str, n: int = 20, big_rows: int = BIG_ROWS
+) -> List[Dict]:
+    """Top-n ops with their class and long_name (shapes) — names every
+    millisecond instead of printing opaque 'fusion.28' labels."""
+    by_name: Dict[str, Dict] = {}
+    for e in load_device_events(trace_path):
+        name = str(e.get("name", ""))
+        args = e.get("args", {}) or {}
+        d = by_name.setdefault(
+            name,
+            {"name": name, "ms": 0.0,
+             "long_name": str(args.get("long_name", ""))[:400],
+             "category": str(args.get("hlo_category", "")),
+             "class": classify_op(
+                 name, str(args.get("long_name", "")),
+                 str(args.get("hlo_category", "")), big_rows)},
+        )
+        d["ms"] += float(e.get("dur", 0.0)) / 1e3
+    return sorted(by_name.values(), key=lambda d: -d["ms"])[:n]
