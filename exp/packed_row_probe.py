@@ -42,29 +42,34 @@ def main():
         print(f"{name}: {(time.perf_counter() - t0) / iters * 1e3:.2f} ms", flush=True)
 
     for W in (128, 132, 256):
-        # jitted fns are (re)defined per width BEFORE the table is
-        # allocated, and the scatter donates its argument: no stale
-        # closure keeps a prior width's table alive, and the scatter
-        # measures the in-place RMW rather than a copy-update.
+        # Each step's OUTPUT must differ from the last (ids rotate by
+        # +1 mod V; scatter values carry a counter): this environment's
+        # remote tunnel memoizes executions whose inputs repeat, so a
+        # fixed-point chain times ~0.03 ms regardless of work.  The
+        # gather result feeds the next ids via a term XLA cannot fold
+        # (min(row, 0) on a non-constant table parameter), and the
+        # scatter donates its argument (true in-place RMW cost).
         @jax.jit
         def g_any(ids, t):
             rows = jnp.take(t, ids, axis=0)
-            # dependence XLA cannot constant-fold (table is all-zeros /
-            # non-negative, so min(row, 0) == 0 and the output stays
-            # `ids` — but only after the gather actually runs)
-            return ids + jnp.minimum(rows[:, :1].astype(jnp.int32).reshape(-1), 0)
+            dep = jnp.minimum(rows[:, :1].astype(jnp.int32).reshape(-1), 0)
+            return (ids + 1 + dep) % jnp.int32(V)
 
         @partial(jax.jit, donate_argnums=0)
-        def s_small(t, uids=uids, W=W):
-            upd = jnp.full((N, W), 0.5, jnp.bfloat16)
-            return t.at[uids].set(
-                upd, mode="drop", unique_indices=True, indices_are_sorted=True
+        def s_small(st, uids=uids, W=W):
+            t, i = st
+            upd = jnp.full((N, W), 0.5, jnp.bfloat16) + i.astype(jnp.bfloat16)
+            return (
+                t.at[uids].set(
+                    upd, mode="drop", unique_indices=True, indices_are_sorted=True
+                ),
+                i + 1e-6,
             )
 
         t = jnp.zeros((V, W), jnp.bfloat16)
         chain(f"gather 3.3M x (V,{W})", lambda ids, t=t: g_any(ids, t), ids_big)
         chain(f"gather 491k x (V,{W})", lambda ids, t=t: g_any(ids, t), uids)
-        chain(f"scatter-set 491k x (V,{W})", s_small, t)
+        chain(f"scatter-set 491k x (V,{W})", s_small, (t, jnp.float32(0)))
         del t
 
 

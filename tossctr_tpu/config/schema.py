@@ -91,6 +91,11 @@ class SequenceConfig:
     # materializes in HBM (ops/topk_select._streaming_topk_ids);
     # null = one dense pass
     select_chunk: Optional[int] = None
+    # Pad the selected top-k to the next 8-sublane multiple (pads use
+    # pad_id -> -1e9 score -> zero weight; u_seq math unchanged).  Kills
+    # the relayout copies around the fused kernels when top_k isn't a
+    # multiple of 8 (e.g. K=60 -> 64).
+    pad_topk_to_tile: bool = True
     tfm: TfmConfig = field(default_factory=TfmConfig)
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -36,6 +36,10 @@ class DARE(nn.Module):
     recency_tau: float = 256.0
     pad_id: int = 0
     select_chunk: Optional[int] = None  # L-chunked streaming selection
+    # round K up to the 8-sublane tile after selection (pads carry
+    # pad_id; see the comment at the pad site) — keeps every (B,K,D)
+    # tensor tile-aligned so kernel-boundary reshapes are bitcasts
+    pad_topk: bool = True
     # store att/rep lane-fused as one (V, 2D) param "emb_tables": a row
     # is one native 128-lane tile at D=64 (no relayout copies, one
     # gather/scatter for both tables).  False = reference-shaped split
@@ -112,6 +116,23 @@ class DARE(nn.Module):
             lookup_fn=att_lookup,
             select_chunk=self.select_chunk,
         )
+        K_logical = sel_ids.shape[1]
+        if self.pad_topk:
+            # Round K up to the 8-sublane tile once HERE: every (B,K,D)
+            # tensor downstream is then tile-aligned, so the
+            # (B,K,D)<->(B*K,D) reshapes around the fused kernels are
+            # free bitcasts instead of relayout copies (~16 ms/step of
+            # 'data formatting' in the r2 trace), and the kernels' own
+            # K->Kp padding becomes a no-op.  The appended slots carry
+            # pad_id, which the existing pad semantics (-1e9 score,
+            # masked rows, zero gating weight) treat exactly like a
+            # short sequence's pads — u_seq is unchanged.
+            K_now = sel_ids.shape[1]
+            K_pad = -(-K_now // 8) * 8
+            if K_pad != K_now:
+                padw = ((0, 0), (0, K_pad - K_now))
+                sel_ids = jnp.pad(sel_ids, padw, constant_values=self.pad_id)
+                idx = jnp.pad(idx, padw)
         self.sow("intermediates", "sel_ids", sel_ids)
 
         sel_nonpad = (sel_ids != self.pad_id).astype(self.dtype)[..., None]
@@ -146,6 +167,7 @@ class DARE(nn.Module):
             for i in range(self.n_layers):
                 x = DAREEncoderLayer(
                     d_model=self.emb_dim,
+                    valid_k=(K_logical if sel_ids.shape[1] != K_logical else None),
                     n_heads=self.n_heads,
                     mha_dropout=self.mha_dropout,
                     ffn_hidden=self.ffn_hidden,

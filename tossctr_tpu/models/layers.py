@@ -236,6 +236,11 @@ class DAREEncoderLayer(nn.Module):
     # bench.py uses to retry if the fused kernel fails to compile on a
     # backend it has not been validated against).
     fuse_block: Optional[bool] = None
+    # logical K when the caller tile-padded the token dim (DARE
+    # pad_topk): key columns >= valid_k get -1e9 via the shared additive
+    # bias — the same masking the kernels applied internally when THEY
+    # did the padding, so the softmax over real tokens is unchanged
+    valid_k: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     def _fuse_block(self) -> bool:
@@ -252,6 +257,15 @@ class DAREEncoderLayer(nn.Module):
         if self.add_pos_bias:
             pb = PositionalBias(self.max_len, self.n_heads, dtype=self.dtype, name="pbias")(K, K)
             bias2d = pb.mean(axis=0)  # head-avg quirk (dare.py:60)
+        if self.valid_k is not None and self.valid_k < K:
+            colmask = jnp.where(
+                jnp.arange(K) < self.valid_k,
+                jnp.asarray(0.0, self.dtype),
+                jnp.asarray(-1e9, self.dtype),
+            )[None, :]
+            bias2d = colmask if bias2d is None else bias2d + colmask
+        if bias2d is not None and bias2d.shape != (K, K):
+            bias2d = jnp.broadcast_to(bias2d, (K, K))
         bias = bias2d[None, None, :, :] if bias2d is not None else None
 
         # fully fused path: attention core kernel + ONE block-tail

@@ -330,17 +330,25 @@ def _packed_attend_fwd(q, k, v, bias_t, seed, row0, *, H, dh, G, dropout_p):
 
 def _attn_fwd_kernel_packed(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
-    K: int, G: int, dropout_p: float,
+    K: int, G: int, dropout_p: float, wide: bool = False,
 ):
     i = pl.program_id(0)
     q = q_ref[...]
     bb, Kp, D = q.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
-    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
-    o = _packed_attend_fwd(
-        q, k_ref[...], v_ref[...], bias_t, seed_ref[0], i * bb,
-        H=H, dh=dh, G=G, dropout_p=dropout_p,
-    )
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    if wide:
+        bias_w = _wide_bias(bias_ref[...], colmask, H)
+        o = _wide_attend_fwd(
+            q, k_ref[...], v_ref[...], bias_w, seed_ref[0], i * bb,
+            H=H, dh=dh, dropout_p=dropout_p,
+        )
+    else:
+        bias_t = _packed_bias(bias_ref[...], colmask, G)
+        o = _packed_attend_fwd(
+            q, k_ref[...], v_ref[...], bias_t, seed_ref[0], i * bb,
+            H=H, dh=dh, G=G, dropout_p=dropout_p,
+        )
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -404,7 +412,7 @@ def _packed_attend_bwd(q, k, v, do, bias_t, seed, row0, *, H, dh, G,
 def _attn_bwd_kernel_packed(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int, G: int,
-    dropout_p: float, B_total: int,
+    dropout_p: float, B_total: int, wide: bool = False,
 ):
     i = pl.program_id(0)
     q = q_ref[...]
@@ -419,11 +427,19 @@ def _attn_bwd_kernel_packed(
     v = jnp.where(valid, v, 0.0)
     do = jnp.where(valid, do, 0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
-    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
-    dq, dk, dv, dbias = _packed_attend_bwd(
-        q, k, v, do, bias_t, seed_ref[0], i * bb,
-        H=H, dh=dh, G=G, dropout_p=dropout_p,
-    )
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    if wide:
+        bias_w = _wide_bias(bias_ref[...], colmask, H)
+        dq, dk, dv, dbias = _wide_attend_bwd(
+            q, k, v, do, bias_w, seed_ref[0], i * bb,
+            H=H, dh=dh, dropout_p=dropout_p,
+        )
+    else:
+        bias_t = _packed_bias(bias_ref[...], colmask, G)
+        dq, dk, dv, dbias = _packed_attend_bwd(
+            q, k, v, do, bias_t, seed_ref[0], i * bb,
+            H=H, dh=dh, G=G, dropout_p=dropout_p,
+        )
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
@@ -435,6 +451,128 @@ def _attn_bwd_kernel_packed(
     @pl.when(i != 0)
     def _():
         dbias_ref[...] += dbias
+
+
+# ---------------------------------------------------------------------------
+# "wide" geometry: instead of packing G heads into the matmul ROW dim
+# (4 group iterations x 2 matmuls of (G*Kp, D)@(D, Kp) per batch row),
+# pack ALL heads into the matmul COLUMN dim via head-masked hat tensors:
+#   khat[(h,j), d] = K[j, d] * m_h[d]   (bb, H*Kp, D) — no transpose
+#   S = Q @ khat^T  — ONE (Kp, D)x(D, H*Kp) dot per row (N=H*Kp wide)
+#   O = P @ vhat    — ONE (Kp, H*Kp)x(H*Kp, D) dot per row (K deep)
+# Same math as the packed core (head-masked full-D contractions), half
+# the MXU row-passes at D=64/H=8/Kp=64.  Dropout uses the identical
+# absolute-coordinate hash, so all three impls are bit-compatible.
+# ---------------------------------------------------------------------------
+
+
+def _hat_mask(H: int, dh: int, D: int, dtype):
+    """(1, H, 1, D) mask of each head's dim slice."""
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, D), 3)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, D), 1)
+    return (d_idx // dh == h_idx).astype(dtype)
+
+
+def _hat(t, mhat, H: int):
+    """(bb, Kp, D) -> head-masked (bb, H*Kp, D)."""
+    bb, Kp, D = t.shape
+    return (t[:, None, :, :] * mhat).reshape(bb, H * Kp, D)
+
+
+def _wide_bias(bias, colmask_row, H: int):
+    """(1, Kp, H*Kp) fp32: head-shared bias + padded-key-column mask,
+    tiled per head along the packed COLUMN dim."""
+    Kp = bias.shape[0]
+    b4 = bias[None, :, None, :].astype(jnp.float32) + colmask_row[:, :, None, :]
+    return jnp.broadcast_to(b4, (1, Kp, H, Kp)).reshape(1, Kp, H * Kp)
+
+
+def _dropout_keep_wide(shape, p: float, seed, Kp: int, row0):
+    """Keep-mask for a (bb, Kp, H*Kp) wide score block — same absolute
+    (row, q, k, head) hash as _dropout_keep/_dropout_keep_packed."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0.astype(jnp.uint32)
+    qi = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    hk = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    head = hk // np.uint32(Kp)
+    kj = hk % np.uint32(Kp)
+    x = (
+        r * _MIX_R + qi * _MIX_Q + kj * _MIX_K
+        + head * _MIX_H + seed.astype(jnp.uint32) * _MIX_S
+    )
+    x = _fmix32(x)
+    keep = (x >= np.uint32(int(p * (2**32)))).astype(jnp.float32)
+    return keep / (1.0 - p)
+
+
+def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0):
+    """-> (P fp32, Pd, keep or None), shapes (bb, Kp, H*Kp)."""
+    bb, Kp, D = q.shape
+    scale = 1.0 / np.sqrt(dh)
+    s = jax.lax.dot_general(
+        q, khat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # (bb, Kp, H*Kp)
+    s = s + bias_w
+    s4 = s.reshape(bb, Kp, H, Kp)
+    s4 = s4 - jnp.max(s4, axis=-1, keepdims=True)
+    e = jnp.exp(s4)
+    p4 = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = p4.reshape(bb, Kp, H * Kp)
+    if dropout_p > 0.0:
+        keep = _dropout_keep_wide(p.shape, dropout_p, seed, Kp, row0)
+        return p, p * keep, keep
+    return p, p, None
+
+
+def _wide_attend_fwd(q, k, v, bias_w, seed, row0, *, H, dh, dropout_p):
+    """Wide attention forward core -> o (bb, Kp, D) fp32."""
+    bb, Kp, D = q.shape
+    mhat = _hat_mask(H, dh, D, k.dtype)
+    khat = _hat(k, mhat, H)
+    vhat = _hat(v, mhat, H)
+    _, pd, _ = _wide_scores(
+        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
+    )
+    return jax.lax.dot_general(
+        pd.astype(v.dtype), vhat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bb, Kp, D)
+
+
+def _wide_attend_bwd(q, k, v, do, bias_w, seed, row0, *, H, dh, dropout_p):
+    """-> (dq, dk, dv (bb, Kp, D) fp32, dbias (Kp, Kp) fp32)."""
+    bb, Kp, D = q.shape
+    scale = 1.0 / np.sqrt(dh)
+    mhat = _hat_mask(H, dh, D, k.dtype)
+    mhat_f = mhat.astype(jnp.float32)
+    khat = _hat(k, mhat, H)
+    vhat = _hat(v, mhat, H)
+    p, pd, keep = _wide_scores(
+        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
+    )
+    # dVhat = Pd^T dO, then fold head blocks back onto their dim slices
+    dvhat = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bb, H*Kp, D)
+    dv = jnp.sum(dvhat.reshape(bb, H, Kp, D) * mhat_f, axis=1)
+    dp = jax.lax.dot_general(
+        do, vhat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (bb, Kp, H*Kp)
+    if keep is not None:
+        dp = dp * keep
+    p4 = p.reshape(bb, Kp, H, Kp)
+    dp4 = dp.reshape(bb, Kp, H, Kp)
+    ds4 = p4 * (dp4 - jnp.sum(dp4 * p4, axis=-1, keepdims=True))
+    dbias = jnp.sum(ds4, axis=(0, 2))  # (Kp, Kp), pre-scale (packed parity)
+    ds = (ds4 * scale).reshape(bb, Kp, H * Kp).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, khat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (bb, Kp, D) — head masks live inside khat
+    dkhat = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (bb, H*Kp, D)
+    dk = jnp.sum(dkhat.reshape(bb, H, Kp, D) * mhat_f, axis=1)
+    return dq, dk, dv, dbias
 
 
 def _qkv_project(x, wq, wk, wv, bq, bk, bv):
@@ -458,9 +596,9 @@ def _qkv_project(x, wq, wk, wv, bq, bk, bv):
 def _attn_fwd_kernel_packed_qkv(
     x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     bias_ref, seed_ref, o_ref, *, H: int, dh: int, K: int, G: int,
-    dropout_p: float,
+    dropout_p: float, wide: bool = False,
 ):
-    """Fused qkv-projection + packed attention: the (B, K, 3D) qkv
+    """Fused qkv-projection + packed/wide attention: the (B, K, 3D) qkv
     tensor never exists in HBM (the 3-D XLA form spent ~4.6 ms/layer
     on relayout copies around the bias add; a 2-D XLA form was worse —
     see models/layers.py note)."""
@@ -472,11 +610,19 @@ def _attn_fwd_kernel_packed_qkv(
         bq_ref[...], bk_ref[...], bv_ref[...],
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
-    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
-    o = _packed_attend_fwd(
-        q, k, v, bias_t, seed_ref[0], i * bb,
-        H=H, dh=dh, G=G, dropout_p=dropout_p,
-    )
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    if wide:
+        bias_w = _wide_bias(bias_ref[...], colmask, H)
+        o = _wide_attend_fwd(
+            q, k, v, bias_w, seed_ref[0], i * bb,
+            H=H, dh=dh, dropout_p=dropout_p,
+        )
+    else:
+        bias_t = _packed_bias(bias_ref[...], colmask, G)
+        o = _packed_attend_fwd(
+            q, k, v, bias_t, seed_ref[0], i * bb,
+            H=H, dh=dh, G=G, dropout_p=dropout_p,
+        )
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -485,7 +631,7 @@ def _attn_bwd_kernel_packed_qkv(
     bias_ref, seed_ref, do_ref,
     dx_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
     dbias_ref, *, H: int, dh: int, K: int, G: int,
-    dropout_p: float, B_total: int,
+    dropout_p: float, B_total: int, wide: bool = False,
 ):
     """Backward of the qkv-fused forward: recomputes q/k/v from x (one
     extra tiny dot per stream), runs the packed attention backward,
@@ -515,11 +661,19 @@ def _attn_bwd_kernel_packed_qkv(
     k = jnp.where(valid, k, 0.0)
     v = jnp.where(valid, v, 0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
-    bias_t = _packed_bias(bias_ref[...], jnp.where(col < K, 0.0, -1e9), G)
-    dq, dk, dv, dbias = _packed_attend_bwd(
-        q, k, v, do, bias_t, seed_ref[0], i * bb,
-        H=H, dh=dh, G=G, dropout_p=dropout_p,
-    )
+    colmask = jnp.where(col < K, 0.0, -1e9)
+    if wide:
+        bias_w = _wide_bias(bias_ref[...], colmask, H)
+        dq, dk, dv, dbias = _wide_attend_bwd(
+            q, k, v, do, bias_w, seed_ref[0], i * bb,
+            H=H, dh=dh, dropout_p=dropout_p,
+        )
+    else:
+        bias_t = _packed_bias(bias_ref[...], colmask, G)
+        dq, dk, dv, dbias = _packed_attend_bwd(
+            q, k, v, do, bias_t, seed_ref[0], i * bb,
+            H=H, dh=dh, G=G, dropout_p=dropout_p,
+        )
     x2 = x.reshape(bb * Kp, D)
     dx = jnp.zeros((bb * Kp, D), jnp.float32)
     for dt, w_ref, dw_ref, db_ref in (
@@ -611,6 +765,11 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
         G = _head_group(H, Kp)
         bb = _adaptive_block_packed(block_b, B, Kp, G)
         kern = functools.partial(_attn_fwd_kernel_packed, G=G)
+    elif impl == "wide":
+        bb = _adaptive_block_wide(block_b, B, Kp, H)
+        kern = functools.partial(
+            _attn_fwd_kernel_packed, G=_head_group(H, Kp), wide=True
+        )
     else:
         bb = _adaptive_block(block_b, B, Kp)
         kern = _attn_fwd_kernel
@@ -648,6 +807,11 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
         G = _head_group(H, Kp)
         bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // 2)
         kern = functools.partial(_attn_bwd_kernel_packed, G=G)
+    elif impl == "wide":
+        bb = max(1, _adaptive_block_wide(block_b, B, Kp, H) // 2)
+        kern = functools.partial(
+            _attn_bwd_kernel_packed, G=_head_group(H, Kp), wide=True
+        )
     else:
         bb = max(1, _adaptive_block(block_b, B, Kp) // 2)
         kern = _attn_bwd_kernel
@@ -695,14 +859,26 @@ def _split_qkv_params(wqkv, bqkv, D):
     return wq, wk, wv, b[:, :D], b[:, D:2 * D], b[:, 2 * D:]
 
 
+def _adaptive_block_wide(block_b: int, B: int, Kp: int, H: int) -> int:
+    """Wide working set: one (bb, Kp, H*Kp) fp32 score tensor per live
+    intermediate — size the block to the same per-tensor budget."""
+    cap = max(8, (_score_budget_bytes() // max(1, Kp * H * Kp * 4)) // 8 * 8)
+    return max(1, min(block_b, B, cap))
+
+
 def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
-                  interpret):
+                  interpret, impl="packed"):
     interpret = _resolve_interpret(interpret)
     B, K, D = x.shape
     dh = D // H
     Kp = _round_up(K, 8)
     G = _head_group(H, Kp)
-    bb = _adaptive_block_packed(block_b, B, Kp, G)
+    wide = impl == "wide"
+    bb = (
+        _adaptive_block_wide(block_b, B, Kp, H)
+        if wide
+        else _adaptive_block_packed(block_b, B, Kp, G)
+    )
     xp = _pad_kdim(x, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     wq, wk, wv, bq, bk, bv = _split_qkv_params(wqkv, bqkv, D)
@@ -712,7 +888,7 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
     out = pl.pallas_call(
         functools.partial(
             _attn_fwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
-            dropout_p=float(dropout_p),
+            dropout_p=float(dropout_p), wide=wide,
         ),
         grid=grid,
         in_specs=[
@@ -729,13 +905,21 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
 
 
 def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
-                  interpret):
+                  interpret, impl="packed"):
     interpret = _resolve_interpret(interpret)
     B, K, D = x.shape
     dh = D // H
     Kp = _round_up(K, 8)
     G = _head_group(H, Kp)
-    bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // 2)
+    wide = impl == "wide"
+    bb = max(
+        1,
+        (
+            _adaptive_block_wide(block_b, B, Kp, H)
+            if wide
+            else _adaptive_block_packed(block_b, B, Kp, G)
+        ) // 2,
+    )
     xp = _pad_kdim(x, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
@@ -746,7 +930,7 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
     dx, dwq, dwk, dwv, dbq, dbk, dbv, dbias = pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
-            dropout_p=float(dropout_p), B_total=B,
+            dropout_p=float(dropout_p), B_total=B, wide=wide,
         ),
         grid=grid,
         in_specs=[
@@ -785,10 +969,10 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_mha_qkv(x, wqkv, bqkv, bias, seed, n_heads: int,
                   dropout_p: float = 0.0, block_b: int = 64,
-                  interpret: bool = False):
+                  interpret: bool = False, impl: str = "packed"):
     """Fused qkv-projection + multi-head attention.
 
     x (B, K, D); wqkv (D, 3D); bqkv (3D,); bias (K, K) head-shared;
@@ -797,27 +981,31 @@ def fused_mha_qkv(x, wqkv, bqkv, bias, seed, n_heads: int,
     in HBM and none of the split/bias relayout copies are emitted
     (~4.6 ms/layer measured at B=8192).  Gradients flow to x, wqkv,
     bqkv and bias; dW/db accumulate across the sequential batch grid
-    in fp32."""
+    in fp32.
+
+    ``impl``: "packed" (heads in the matmul row dim) or "wide" (heads
+    in the matmul column dim via head-masked hat tensors — ONE S and
+    ONE O dot per batch row, half the MXU row-passes at D=64/H=8)."""
     return _fwd_call_qkv(
         x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
 
 
 def _fused_mha_qkv_fwd(x, wqkv, bqkv, bias, seed, n_heads, dropout_p,
-                       block_b, interpret):
+                       block_b, interpret, impl):
     out = _fwd_call_qkv(
         x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
     return out, (x, wqkv, bqkv, bias, seed)
 
 
-def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, res, g):
+def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, impl, res, g):
     x, wqkv, bqkv, bias, seed = res
     dx, dwqkv, dbqkv, dbias = _bwd_call_qkv(
         x, wqkv, bqkv, bias, seed, g, H=n_heads, dropout_p=dropout_p,
-        block_b=block_b, interpret=interpret,
+        block_b=block_b, interpret=interpret, impl=impl,
     )
     return dx, dwqkv, dbqkv, dbias, jnp.zeros_like(seed)
 

@@ -361,6 +361,8 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     from .sparse_embed import RowwiseAdagradState, rowwise_adagrad_update, sparse_sgd_update
 
     K = min(cfg.sequence.top_k, cfg.sequence.max_len)
+    if cfg.sequence.pad_topk_to_tile:
+        K = -(-K // 8) * 8  # DARE pads the selected-K dim to the sublane tile
     D = cfg.model.emb_dim
     cdt = cfg.compute_dtype
     exact_dedup = bool(cfg.train.extra.get("exact_dedup", False))
