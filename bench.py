@@ -55,6 +55,7 @@ def build_cfg(args):
             },
             "model": {
                 "emb_dim": 64,
+                "attn_impl": args.attn_impl,
                 "seq_vocab": args.vocab,
                 "dare_dropout": 0.2,
                 "embedding_dropout": 0.0,
@@ -150,6 +151,8 @@ def main():
                          "sorted+unique scatter-set is 3x cheaper per row)")
     ap.add_argument("--table-dtype", default="bfloat16",
                     help="seq-table storage dtype (bfloat16|float32)")
+    ap.add_argument("--attn-impl", default="packed",
+                    help="fused-attention geometry: packed | wide | loop")
     ap.add_argument("--id-dist", default="uniform",
                     help="sequence-id distribution: uniform | zipf[:a] "
                          "(the headline run also times a zipf:1.0 batch "

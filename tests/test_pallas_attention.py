@@ -47,7 +47,7 @@ def _data(B=8, K=12, D=16, seed=0):
     return q, k, v, bias, seed_arr
 
 
-@pytest.mark.parametrize("impl", ["loop", "packed"])
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
 @pytest.mark.parametrize("H", [2, 4])
 @pytest.mark.parametrize("K", [12, 8])
 def test_fused_mha_forward_matches_reference(H, K, impl):
@@ -57,7 +57,7 @@ def test_fused_mha_forward_matches_reference(H, K, impl):
     assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
 
 
-@pytest.mark.parametrize("impl", ["loop", "packed"])
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
 def test_fused_mha_k_not_multiple_of_8(impl):
     q, k, v, bias, seed = _data(B=6, K=13, D=16)
     got = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.0, 4, True, impl))
@@ -65,7 +65,7 @@ def test_fused_mha_k_not_multiple_of_8(impl):
     assert np.allclose(got, want, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["loop", "packed"])
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
 def test_fused_mha_gradients_match_reference(impl):
     q, k, v, bias, seed = _data(B=6, K=10, D=16)
     g_out = jnp.asarray(np.random.default_rng(1).normal(0, 1, (6, 10, 16)).astype(np.float32))
@@ -91,7 +91,7 @@ def test_fused_mha_partial_batch_block():
     assert np.allclose(got, want, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["loop", "packed"])
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
 def test_fused_mha_dropout_forward_matches_masked_reference(impl):
     q, k, v, bias, _ = _data(B=10, K=12, D=16)
     seed = jnp.asarray([1234], jnp.int32)
@@ -103,7 +103,7 @@ def test_fused_mha_dropout_forward_matches_masked_reference(impl):
     assert not np.allclose(got, nodrop, atol=1e-3)
 
 
-@pytest.mark.parametrize("impl", ["loop", "packed"])
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
 def test_fused_mha_dropout_gradients_match_masked_reference(impl):
     """The ADVICE-high regression test: backward runs with a DIFFERENT
     batch block than forward, and must still regenerate the identical

@@ -153,6 +153,10 @@ class ModelConfig:
     # rows, zero when fused; scripts/tpu_layout_probe.py).  False =
     # reference-shaped split tables (parity oracle).
     fused_seq_tables: bool = True
+    # fused-attention kernel geometry: "packed" (heads in the matmul
+    # row dim) | "wide" (heads in the matmul column dim — fewer, wider
+    # dots) | "loop" (per-head; the round-1 oracle)
+    attn_impl: str = "packed"
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

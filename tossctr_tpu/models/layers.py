@@ -109,6 +109,7 @@ class MultiHeadSelfAttention(nn.Module):
     # params stay declared HERE so the tree path (mha/out/{kernel,
     # bias}) is identical in every mode
     raw_out: bool = False
+    attn_impl: str = "packed"  # packed | wide | loop kernel geometry
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -134,7 +135,8 @@ class MultiHeadSelfAttention(nn.Module):
             wqkv, bqkv = DenseParams(D, 3 * D, name="qkv")()
             p, seed = dropout_seed(self, self.dropout, deterministic)
             o = fused_mha_qkv(
-                x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p
+                x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p,
+                64, False, self.attn_impl,
             )
             if self.raw_out:
                 wout, bout = DenseParams(D, D, name="out")()
@@ -155,7 +157,8 @@ class MultiHeadSelfAttention(nn.Module):
             from ..ops.pallas_attention import fused_mha
 
             p, seed = dropout_seed(self, self.dropout, deterministic)
-            o = fused_mha(q, k, v, bias2d(), seed, H, p)
+            o = fused_mha(q, k, v, bias2d(), seed, H, p, 64, False,
+                          self.attn_impl)
         else:
             def heads(t):
                 return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)
@@ -241,6 +244,7 @@ class DAREEncoderLayer(nn.Module):
     # bias — the same masking the kernels applied internally when THEY
     # did the padding, so the softmax over real tokens is unchanged
     valid_k: Optional[int] = None
+    attn_impl: str = "packed"
     dtype: Dtype = jnp.float32
 
     def _fuse_block(self) -> bool:
@@ -280,7 +284,8 @@ class DAREEncoderLayer(nn.Module):
 
             o, wout, bout = MultiHeadSelfAttention(
                 self.d_model, self.n_heads, self.mha_dropout,
-                use_pallas=True, raw_out=True, dtype=self.dtype, name="mha",
+                use_pallas=True, raw_out=True, attn_impl=self.attn_impl,
+                dtype=self.dtype, name="mha",
             )(x, attn_bias=bias, deterministic=deterministic)
             wn1 = NormParams(D, name="norm1")()
             w1, b1 = DenseParams(D, self.ffn_hidden, name="Dense_0")()
@@ -300,6 +305,7 @@ class DAREEncoderLayer(nn.Module):
             self.n_heads,
             self.mha_dropout,
             use_pallas=self.use_pallas_attn,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="mha",
         )(x, attn_bias=bias, deterministic=deterministic)

@@ -466,25 +466,24 @@ def _attn_bwd_kernel_packed(
 # ---------------------------------------------------------------------------
 
 
-def _hat_mask(H: int, dh: int, D: int, dtype):
-    """(1, H, 1, D) mask of each head's dim slice."""
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, D), 3)
-    h_idx = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, D), 1)
-    return (d_idx // dh == h_idx).astype(dtype)
-
-
-def _hat(t, mhat, H: int):
-    """(bb, Kp, D) -> head-masked (bb, H*Kp, D)."""
+def _hat(t, H: int, dh: int):
+    """(bb, Kp, D) -> head-masked (bb, H*Kp, D).  Rank-3 only (Mosaic
+    rejects 4-D shape casts): one masked copy per head, concatenated
+    along the packed row dim."""
     bb, Kp, D = t.shape
-    return (t[:, None, :, :] * mhat).reshape(bb, H * Kp, D)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    parts = []
+    for h in range(H):
+        m = ((d_idx >= h * dh) & (d_idx < (h + 1) * dh)).astype(t.dtype)
+        parts.append(t * m)
+    return jnp.concatenate(parts, axis=1)
 
 
 def _wide_bias(bias, colmask_row, H: int):
     """(1, Kp, H*Kp) fp32: head-shared bias + padded-key-column mask,
     tiled per head along the packed COLUMN dim."""
-    Kp = bias.shape[0]
-    b4 = bias[None, :, None, :].astype(jnp.float32) + colmask_row[:, :, None, :]
-    return jnp.broadcast_to(b4, (1, Kp, H, Kp)).reshape(1, Kp, H * Kp)
+    b2 = bias[None, :, :].astype(jnp.float32) + colmask_row
+    return jnp.concatenate([b2] * H, axis=2)
 
 
 def _dropout_keep_wide(shape, p: float, seed, Kp: int, row0):
@@ -504,6 +503,18 @@ def _dropout_keep_wide(shape, p: float, seed, Kp: int, row0):
     return keep / (1.0 - p)
 
 
+def _block_softmax(s, H: int, Kp: int):
+    """Per-head-block softmax over the last dim of (bb, Kp, H*Kp),
+    rank-3 only: static lane slices per head."""
+    parts = []
+    for h in range(H):
+        blk = jax.lax.slice_in_dim(s, h * Kp, (h + 1) * Kp, axis=2)
+        blk = blk - jnp.max(blk, axis=-1, keepdims=True)
+        e = jnp.exp(blk)
+        parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+    return jnp.concatenate(parts, axis=2)
+
+
 def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0):
     """-> (P fp32, Pd, keep or None), shapes (bb, Kp, H*Kp)."""
     bb, Kp, D = q.shape
@@ -512,23 +523,30 @@ def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0):
         q, khat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale  # (bb, Kp, H*Kp)
     s = s + bias_w
-    s4 = s.reshape(bb, Kp, H, Kp)
-    s4 = s4 - jnp.max(s4, axis=-1, keepdims=True)
-    e = jnp.exp(s4)
-    p4 = e / jnp.sum(e, axis=-1, keepdims=True)
-    p = p4.reshape(bb, Kp, H * Kp)
+    p = _block_softmax(s, H, Kp)
     if dropout_p > 0.0:
         keep = _dropout_keep_wide(p.shape, dropout_p, seed, Kp, row0)
         return p, p * keep, keep
     return p, p, None
 
 
+def _unhat(that, H: int, Kp: int, dh: int):
+    """(bb, H*Kp, D) -> (bb, Kp, D): fold each head block back onto its
+    dim slice and sum (rank-3: static sublane slices per head)."""
+    bb, HKp, D = that.shape
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    out = None
+    for h in range(H):
+        m = ((d_idx >= h * dh) & (d_idx < (h + 1) * dh)).astype(that.dtype)
+        blk = jax.lax.slice_in_dim(that, h * Kp, (h + 1) * Kp, axis=1) * m
+        out = blk if out is None else out + blk
+    return out
+
+
 def _wide_attend_fwd(q, k, v, bias_w, seed, row0, *, H, dh, dropout_p):
     """Wide attention forward core -> o (bb, Kp, D) fp32."""
-    bb, Kp, D = q.shape
-    mhat = _hat_mask(H, dh, D, k.dtype)
-    khat = _hat(k, mhat, H)
-    vhat = _hat(v, mhat, H)
+    khat = _hat(k, H, dh)
+    vhat = _hat(v, H, dh)
     _, pd, _ = _wide_scores(
         q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
     )
@@ -542,10 +560,8 @@ def _wide_attend_bwd(q, k, v, do, bias_w, seed, row0, *, H, dh, dropout_p):
     """-> (dq, dk, dv (bb, Kp, D) fp32, dbias (Kp, Kp) fp32)."""
     bb, Kp, D = q.shape
     scale = 1.0 / np.sqrt(dh)
-    mhat = _hat_mask(H, dh, D, k.dtype)
-    mhat_f = mhat.astype(jnp.float32)
-    khat = _hat(k, mhat, H)
-    vhat = _hat(v, mhat, H)
+    khat = _hat(k, H, dh)
+    vhat = _hat(v, H, dh)
     p, pd, keep = _wide_scores(
         q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
     )
@@ -554,24 +570,29 @@ def _wide_attend_bwd(q, k, v, do, bias_w, seed, row0, *, H, dh, dropout_p):
         pd.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (bb, H*Kp, D)
-    dv = jnp.sum(dvhat.reshape(bb, H, Kp, D) * mhat_f, axis=1)
+    dv = _unhat(dvhat, H, Kp, dh)
     dp = jax.lax.dot_general(
         do, vhat, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (bb, Kp, H*Kp)
     if keep is not None:
         dp = dp * keep
-    p4 = p.reshape(bb, Kp, H, Kp)
-    dp4 = dp.reshape(bb, Kp, H, Kp)
-    ds4 = p4 * (dp4 - jnp.sum(dp4 * p4, axis=-1, keepdims=True))
-    dbias = jnp.sum(ds4, axis=(0, 2))  # (Kp, Kp), pre-scale (packed parity)
-    ds = (ds4 * scale).reshape(bb, Kp, H * Kp).astype(q.dtype)
+    # softmax backward + dbias per head block (rank-3 lane slices)
+    ds_parts = []
+    dbias = jnp.zeros((Kp, Kp), jnp.float32)
+    for h in range(H):
+        p_h = jax.lax.slice_in_dim(p, h * Kp, (h + 1) * Kp, axis=2)
+        dp_h = jax.lax.slice_in_dim(dp, h * Kp, (h + 1) * Kp, axis=2)
+        ds_h = p_h * (dp_h - jnp.sum(dp_h * p_h, axis=-1, keepdims=True))
+        dbias = dbias + jnp.sum(ds_h, axis=0)  # pre-scale (packed parity)
+        ds_parts.append(ds_h)
+    ds = (jnp.concatenate(ds_parts, axis=2) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, khat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (bb, Kp, D) — head masks live inside khat
     dkhat = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (bb, H*Kp, D)
-    dk = jnp.sum(dkhat.reshape(bb, H, Kp, D) * mhat_f, axis=1)
+    dk = _unhat(dkhat, H, Kp, dh)
     return dq, dk, dv, dbias
 
 
