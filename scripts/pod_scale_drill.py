@@ -1,0 +1,151 @@
+"""Pod-scale state drill (VERDICT r2 #4 'Done' criterion).
+
+Runs the pod_scale_stretch table size — a 100M-row, (100M, 128) bf16
+fused sequence table, 25.6 GB — through the FULL state lifecycle on the
+8-virtual-device mesh (4 data x 2 model):
+
+    sharded init -> train (row-sparse updates) -> sharded fold
+    checkpoint (shard-by-shard, no full-table host pull) -> restore
+    into mesh shardings -> sharded inference -> submission.csv
+
+and logs peak host RSS, per-device table bytes, checkpoint size, and
+phase timings.  Sequence/batch shapes are kept small (the drill proves
+STATE handling at scale, not step speed); the table is full-size.
+
+Usage:  python scripts/pod_scale_drill.py [--vocab 100000000] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def dir_gb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total / 1e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", type=int, default=100_000_000)
+    ap.add_argument("--rows", type=int, default=20_000)
+    ap.add_argument("--out", default="/tmp/pod_drill")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    from tossctr_tpu.config import Config
+    from tossctr_tpu.data.etl import build_train_and_test
+    from tossctr_tpu.data.synth import write_synth_train_test
+    from tossctr_tpu.infer.predict import infer_main
+    from tossctr_tpu.train.trainer import train_main
+
+    log = {"vocab": args.vocab, "phases": {}}
+
+    t0 = time.time()
+    root = args.out
+    os.makedirs(root, exist_ok=True)
+    write_synth_train_test(root, n_train=args.rows, n_test=2_000, seed=7)
+    cfg = Config.from_dict(
+        {
+            "exp_name": "pod_drill",
+            "seed": 777,
+            "amp": "none",
+            "data": {
+                "train_path": os.path.join(root, "train.parquet"),
+                "test_path": os.path.join(root, "test.parquet"),
+                "cache_dir": os.path.join(root, "cache"),
+                "cat_cols": ["gender", "age_group", "inventory_id",
+                             "day_of_week", "hour"],
+                "hash_buckets": {"inventory_id": 1009, "gender": 11,
+                                 "age_group": 13, "day_of_week": 11, "hour": 29},
+                "num_patterns": ["feat_*", "history_*"],
+                "shard_rows": 10_000,
+            },
+            "sequence": {"max_len": 64, "top_k": 16, "recency_tau": 512,
+                         "query_mode": "S1", "query_key": "inventory_id",
+                         "transformer_block": True,
+                         "tfm": {"n_layers": 2, "n_heads": 4, "ffn_hidden": 128}},
+            "model": {"emb_dim": 64, "seq_vocab": args.vocab,
+                      "table_dtype": "bfloat16",
+                      "qnn_alpha": {"enabled": True, "heads": 2, "rank": 4,
+                                    "proj_dim": 32, "mlp_hidden": [64, 32],
+                                    "aux_head_weight": 0.15}},
+            "train": {"batch_size": 512, "epochs": 1, "lr": 5e-4,
+                      "warmup_epochs": 1, "grad_clip_norm": 0.5,
+                      "embedding_optimizer": "rowwise_adagrad",
+                      "early_stop_patience": 99},
+            "ema": {"enabled": False},
+            "calibration": {"enabled": False},
+            "cv": {"n_splits": 1, "group_key": "inventory_id"},
+            "mesh": {"data": 4, "model": 2},
+            "eval": {"device_metrics": False},
+            "logging": {"log_dir": os.path.join(root, "runs"), "tb": False},
+        }
+    )
+    build_train_and_test(cfg)
+    log["phases"]["etl_s"] = round(time.time() - t0, 1)
+    log["rss_gb_after_etl"] = round(rss_gb(), 2)
+
+    t0 = time.time()
+    exp_dir = train_main(cfg)
+    log["phases"]["train_s"] = round(time.time() - t0, 1)
+    log["rss_gb_after_train"] = round(rss_gb(), 2)
+
+    ckpt = os.path.join(exp_dir, "ckpt_folds_0")
+    assert os.path.exists(os.path.join(ckpt, "params", "index.json")), (
+        "fold checkpoint must use the sharded payload at this scale"
+    )
+    with open(os.path.join(ckpt, "params", "index.json")) as f:
+        idx = json.load(f)
+    tbl = next(v for k, v in idx.items() if "emb_tables" in k)
+    log["table"] = {
+        "shape": tbl["shape"], "dtype": tbl["dtype"],
+        "global_gb": round(tbl["shape"][0] * tbl["shape"][1] * 2 / 1e9, 2),
+        "shard_rows": tbl["rows"],
+        "per_device_gb": round(
+            (tbl["rows"][0][1] - tbl["rows"][0][0]) * tbl["shape"][1] * 2 / 1e9, 2
+        ),
+    }
+    log["checkpoint_gb"] = round(dir_gb(ckpt), 2)
+
+    t0 = time.time()
+    sub = infer_main(cfg)
+    log["phases"]["infer_s"] = round(time.time() - t0, 1)
+    log["rss_gb_peak"] = round(rss_gb(), 2)
+    with open(sub) as f:
+        n_lines = sum(1 for _ in f)
+    log["submission_rows"] = n_lines - 1
+    assert n_lines == 2_001, n_lines
+
+    print(json.dumps(log, indent=2))
+    out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "docs", "POD_DRILL.json")
+    with open(out_json, "w") as f:
+        json.dump(log, f, indent=2)
+    if not args.keep:
+        shutil.rmtree(root, ignore_errors=True)
+    print(f"# wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

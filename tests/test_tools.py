@@ -138,3 +138,30 @@ def test_run_calibration_cli(tmp_path, synth):
     metrics = json.load(open(os.path.join(out_dir, "oof_metrics.json")))
     assert metrics["after"]["WLL"] < metrics["before"]["WLL"]
     assert os.path.exists(os.path.join(out_dir, "calibrator.pkl"))
+
+
+def test_parity_driver_smoke(tmp_path, monkeypatch):
+    """tools/parity_vs_reference.py end-to-end plumbing on a tiny run
+    (ours-only; the full 3-seed head-to-head vs the reference produced
+    PARITY.md).  Asserts the shared cache, injected split, and
+    parity.json artifact."""
+    import json as _json
+    import sys
+
+    from tossctr_tpu.tools import parity_vs_reference as pv
+
+    out = str(tmp_path / "par")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["parity", "--out", out, "--rows", "3000", "--seeds", "0",
+         "--epochs", "1", "--batch", "512", "--ours-modes",
+         "rowwise_adagrad", "--skip-reference",
+         "--report", str(tmp_path / "P.md")],
+    )
+    pv.main()
+    with open(f"{out}/parity.json") as f:
+        d = _json.load(f)
+    r = d["results"][0]
+    assert r["framework"] == "ours_jax_rowwise_adagrad"
+    assert 0.0 < r["best"]["Score"] < 1.0
+    assert (tmp_path / "P.md").exists()

@@ -744,6 +744,13 @@ def _head_group(H: int, Kp: int) -> int:
     return best
 
 
+def _bwd_block_div() -> int:
+    """Backward batch-block divisor (default 2: the bwd carries extra
+    fp32 accumulators on top of the fwd working set).  Override with
+    TOSSCTR_ATTN_BWD_BLOCK_DIV to probe the VMEM ceiling."""
+    return int(os.environ.get("TOSSCTR_ATTN_BWD_BLOCK_DIV", "2"))
+
+
 def _score_budget_bytes() -> int:
     """Per-score-tensor VMEM budget.  Default 1 MB keeps the packed
     kernels inside the 16 MB scoped-VMEM limit (bb=64 at G*Kp=128,
@@ -826,7 +833,7 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
     # working set; halve the block to stay inside scoped VMEM
     if impl == "packed":
         G = _head_group(H, Kp)
-        bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // 2)
+        bb = max(1, _adaptive_block_packed(block_b, B, Kp, G) // _bwd_block_div())
         kern = functools.partial(_attn_bwd_kernel_packed, G=G)
     elif impl == "wide":
         bb = max(1, _adaptive_block_wide(block_b, B, Kp, H) // 2)
@@ -939,7 +946,7 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
             _adaptive_block_wide(block_b, B, Kp, H)
             if wide
             else _adaptive_block_packed(block_b, B, Kp, G)
-        ) // 2,
+        ) // _bwd_block_div(),
     )
     xp = _pad_kdim(x, Kp)
     dop = _pad_kdim(do, Kp)

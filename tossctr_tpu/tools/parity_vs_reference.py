@@ -186,8 +186,10 @@ def reference_cfg(args, seed: int) -> Dict:
             "qnn_alpha": dict(hp["qnn"]),
         },
         "train": dict(hp["train"]),
-        "calibration": {"enabled": False},
-        "ema": {"enabled": False},
+        "calibration": {"enabled": bool(args.calibration),
+                        "method": "temperature", "lr": 0.05, "iters": 200},
+        "ema": ({"enabled": True, "decay": 0.999, "eval_with_ema": True}
+                if args.ema else {"enabled": False}),
         "sampler": {},
     }
 
@@ -217,8 +219,11 @@ def ours_cfg(args, seed: int, emb_opt: str, out_dir: str):
                 "qnn_alpha": dict(hp["qnn"]),
             },
             "train": dict(hp["train"], embedding_optimizer=emb_opt),
-            "ema": {"enabled": False},
-            "calibration": {"enabled": False},
+            "ema": ({"enabled": True, "decay": 0.999, "eval_with_ema": True}
+                    if args.ema else {"enabled": False}),
+            "calibration": ({"enabled": True, "method": "temperature",
+                             "lr": 0.05, "iters": 200}
+                            if args.calibration else {"enabled": False}),
             "eval": {"score_formula": "reference", "device_metrics": False},
             "cv": {"n_splits": 1, "group_key": "inventory_id"},
             "logging": {"log_dir": out_dir, "tb": False, "csv_log": True},
@@ -348,7 +353,9 @@ def write_report(args, results, summary, verdicts, path: str):
         "",
         f"Hyperparameters (both sides): emb_dim={args.emb_dim}, L={args.max_len}, "
         f"K={args.top_k}, 2 transformer layers, QNN-alpha head, B={args.batch}, "
-        f"{args.epochs} epochs, lr={args.lr}, fp32, no EMA, no calibration, "
+        f"{args.epochs} epochs, lr={args.lr}, fp32, "
+        f"EMA={'on' if args.ema else 'off'}, "
+        f"calibration={'temperature' if args.calibration else 'off'}, "
         "seq_vocab=10M (the reference hard-codes it, src/train.py:116). "
         "The reference ran verbatim from /root/reference via its own "
         "`train_one_fold` (CPU torch eager); ours ran on JAX CPU.",
@@ -408,6 +415,10 @@ def main():
     ap.add_argument("--top-k", type=int, default=16)
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--ours-modes", default="adamw,rowwise_adagrad")
+    ap.add_argument("--ema", action="store_true",
+                    help="enable EMA shadow weights on BOTH sides")
+    ap.add_argument("--calibration", action="store_true",
+                    help="enable per-epoch temperature calibration on BOTH sides")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--report", default=None, help="PARITY.md output path")
     args = ap.parse_args()
