@@ -309,3 +309,52 @@ def test_layer_fuse_qkv_param_tree_and_outputs():
     y_f = l_fused.apply(p_ref, x, deterministic=True)
     y_r = l_ref.apply(p_ref, x, deterministic=True)
     assert np.allclose(np.asarray(y_f), np.asarray(y_r), atol=5e-4)
+
+
+# ---- dropout_impl="hw" plumbing (CPU: interpret mode falls back to the
+# hash, so outputs must be bit-identical to dropout_impl="hash"; the
+# compiled hw path is validated on device by
+# exp/hw_dropout_device_check.py) ----
+
+
+@pytest.mark.parametrize("impl", ["loop", "packed", "wide"])
+def test_hw_dropout_falls_back_to_hash_in_interpret(impl):
+    q, k, v, bias, _ = _data(B=10, K=12, D=16)
+    seed = jnp.asarray([9], jnp.int32)
+    a = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.3, 8, True, impl, "hash"))
+    b = np.asarray(fused_mha(q, k, v, bias, seed, 2, 0.3, 8, True, impl, "hw"))
+    assert np.array_equal(a, b)
+
+
+def test_hw_dropout_grads_on_cpu_fallback():
+    q, k, v, bias, _ = _data(B=8, K=12, D=16)
+    seed = jnp.asarray([3], jnp.int32)
+
+    def loss(qq, di):
+        return jnp.sum(
+            fused_mha(qq, k, v, bias, seed, 2, 0.25, 8, True, "packed", di) ** 2
+        )
+
+    ga = jax.grad(lambda qq: loss(qq, "hash"))(q)
+    gb = jax.grad(lambda qq: loss(qq, "hw"))(q)
+    assert np.array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_dropout_impl_rejects_unknown():
+    from tossctr_tpu.ops.pallas_attention import _resolve_dropout_impl
+
+    assert _resolve_dropout_impl("hw", True) == "hash"
+    assert _resolve_dropout_impl("hw", False) == "hw"
+    assert _resolve_dropout_impl("hash", False) == "hash"
+    with pytest.raises(ValueError):
+        _resolve_dropout_impl("bogus", False)
+
+
+def test_hw_chunk_gcd_of_fwd_bwd_blocks():
+    from tossctr_tpu.ops.pallas_ffn import _ffn_hw_chunk
+
+    assert _ffn_hw_chunk(512, 8192 * 64) == 256
+    # tiny N: fwd and bwd share the same (rounded) block
+    assert _ffn_hw_chunk(512, 100) == 104
+    # mid N: gcd falls back to a small common divisor
+    assert _ffn_hw_chunk(512, 300) % 8 == 0

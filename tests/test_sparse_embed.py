@@ -185,6 +185,8 @@ def test_pert_grads_equal_dense_table_grads():
 
     sparse_model = CTRModel(spec=spec, sparse_tables=True)
     B, K, D = 6, 4, 8
+    if cfg_d.sequence.pad_topk_to_tile:
+        K = -(-K // 8) * 8  # DARE pads the selected-K dim to the sublane tile
     perts0 = {"dare": {"att_rows": jnp.zeros((B, K, D)), "rep_rows": jnp.zeros((B, K, D))}}
 
     def sparse_loss(perts):

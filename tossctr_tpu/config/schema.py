@@ -157,6 +157,13 @@ class ModelConfig:
     # row dim) | "wide" (heads in the matmul column dim — fewer, wider
     # dots) | "loop" (per-head; the round-1 oracle)
     attn_impl: str = "packed"
+    # in-kernel dropout mask generator: "hw" (TPU hardware PRNG, ~7x
+    # fewer VPU ops per score/hidden element — the production default)
+    # | "hash" (counter-based, numpy-reproducible, bit-identical across
+    # kernel geometries and backends — the testing oracle).  Interpret
+    # mode (CPU) always uses "hash"; the Bernoulli distribution is the
+    # same either way, only the sampled mask differs.
+    dropout_impl: str = "hw"
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -412,6 +419,10 @@ class Config:
             raise ValueError("mesh.exchange must be psum|a2a")
         if self.mesh.cat_sharding not in ("replicate", "row"):
             raise ValueError("mesh.cat_sharding must be replicate|row")
+        if self.model.attn_impl not in ("packed", "wide", "loop"):
+            raise ValueError("model.attn_impl must be packed|wide|loop")
+        if self.model.dropout_impl not in ("hw", "hash"):
+            raise ValueError("model.dropout_impl must be hw|hash")
 
     # ---- convenience ----
     @property

@@ -81,6 +81,7 @@ class ModelSpec:
     fused_seq_tables: bool = True
     pad_topk: bool = True
     attn_impl: str = "packed"
+    dropout_impl: str = "hash"
     table_dtype: str = "float32"
     qnn: Dict[str, Any] = field(default_factory=dict)
     block_slices: Dict[str, Tuple[int, int]] = field(default_factory=dict)
@@ -143,6 +144,7 @@ def build_model_spec(cfg, dims: Dict[str, int]) -> ModelSpec:
         fused_seq_tables=bool(cfg.model.fused_seq_tables),
         pad_topk=bool(s.pad_topk_to_tile),
         attn_impl=str(cfg.model.attn_impl),
+        dropout_impl=str(cfg.model.dropout_impl),
         query_mode=s.query_mode,
         query_key=s.query_key,
         transformer_block=bool(s.transformer_block),
@@ -311,6 +313,7 @@ class CTRModel(nn.Module):
             select_chunk=sp.select_chunk,
             pad_topk=sp.pad_topk,
             attn_impl=sp.attn_impl,
+            dropout_impl=sp.dropout_impl,
             fused_tables=sp.fused_seq_tables,
             transformer_block=sp.transformer_block,
             n_layers=sp.tfm_n_layers,

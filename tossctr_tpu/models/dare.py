@@ -41,6 +41,7 @@ class DARE(nn.Module):
     # tensor tile-aligned so kernel-boundary reshapes are bitcasts
     pad_topk: bool = True
     attn_impl: str = "packed"  # fused-attention geometry (layers.py)
+    dropout_impl: str = "hash"  # hash | hw kernel dropout mask (layers.py)
     # store att/rep lane-fused as one (V, 2D) param "emb_tables": a row
     # is one native 128-lane tile at D=64 (no relayout copies, one
     # gather/scatter for both tables).  False = reference-shaped split
@@ -170,6 +171,7 @@ class DARE(nn.Module):
                     d_model=self.emb_dim,
                     valid_k=(K_logical if sel_ids.shape[1] != K_logical else None),
                     attn_impl=self.attn_impl,
+                    dropout_impl=self.dropout_impl,
                     n_heads=self.n_heads,
                     mha_dropout=self.mha_dropout,
                     ffn_hidden=self.ffn_hidden,

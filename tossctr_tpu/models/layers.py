@@ -110,6 +110,10 @@ class MultiHeadSelfAttention(nn.Module):
     # bias}) is identical in every mode
     raw_out: bool = False
     attn_impl: str = "packed"  # packed | wide | loop kernel geometry
+    # "hash" = numpy-reproducible counter-hash dropout mask; "hw" = TPU
+    # hardware PRNG (~7x fewer VPU ops/element; falls back to hash in
+    # interpret mode — see ops/pallas_attention._hw_keep)
+    dropout_impl: str = "hash"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -136,7 +140,7 @@ class MultiHeadSelfAttention(nn.Module):
             p, seed = dropout_seed(self, self.dropout, deterministic)
             o = fused_mha_qkv(
                 x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p,
-                64, False, self.attn_impl,
+                64, False, self.attn_impl, self.dropout_impl,
             )
             if self.raw_out:
                 wout, bout = DenseParams(D, D, name="out")()
@@ -158,7 +162,7 @@ class MultiHeadSelfAttention(nn.Module):
 
             p, seed = dropout_seed(self, self.dropout, deterministic)
             o = fused_mha(q, k, v, bias2d(), seed, H, p, 64, False,
-                          self.attn_impl)
+                          self.attn_impl, self.dropout_impl)
         else:
             def heads(t):
                 return t.reshape(B, K, H, dh).transpose(0, 2, 1, 3)  # (B,H,K,dh)
@@ -245,6 +249,7 @@ class DAREEncoderLayer(nn.Module):
     # did the padding, so the softmax over real tokens is unchanged
     valid_k: Optional[int] = None
     attn_impl: str = "packed"
+    dropout_impl: str = "hash"  # hash | hw (see MultiHeadSelfAttention)
     dtype: Dtype = jnp.float32
 
     def _fuse_block(self) -> bool:
@@ -285,6 +290,7 @@ class DAREEncoderLayer(nn.Module):
             o, wout, bout = MultiHeadSelfAttention(
                 self.d_model, self.n_heads, self.mha_dropout,
                 use_pallas=True, raw_out=True, attn_impl=self.attn_impl,
+                dropout_impl=self.dropout_impl,
                 dtype=self.dtype, name="mha",
             )(x, attn_bias=bias, deterministic=deterministic)
             wn1 = NormParams(D, name="norm1")()
@@ -296,7 +302,7 @@ class DAREEncoderLayer(nn.Module):
                 x.reshape(B * K, D), o.reshape(B * K, D),
                 wout.astype(self.dtype), bout, wn1,
                 w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, wn2,
-                seed, p,
+                seed, p, 512, False, self.dropout_impl,
             )
             return y.reshape(B, K, D)
 
@@ -306,6 +312,7 @@ class DAREEncoderLayer(nn.Module):
             self.mha_dropout,
             use_pallas=self.use_pallas_attn,
             attn_impl=self.attn_impl,
+            dropout_impl=self.dropout_impl,
             dtype=self.dtype,
             name="mha",
         )(x, attn_bias=bias, deterministic=deterministic)
@@ -321,6 +328,7 @@ class DAREEncoderLayer(nn.Module):
                 x.reshape(B * K, D),
                 w1.astype(self.dtype), b1,
                 w2.astype(self.dtype), b2, seed, p,
+                512, False, self.dropout_impl,
             ).reshape(B, K, D)
         else:
             h2 = nn.Dense(self.ffn_hidden, dtype=self.dtype, param_dtype=jnp.float32)(x)

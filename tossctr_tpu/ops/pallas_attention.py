@@ -100,6 +100,75 @@ def _dropout_keep(shape, p: float, seed, head, row0):
     return keep / (1.0 - p)
 
 
+# --- hardware-PRNG dropout (dropout_impl="hw") ------------------------------
+#
+# The counter hash above costs ~15 uint32 VPU ops per score element and
+# runs over ~268M elements/layer at flagship shapes, twice (fwd + bwd
+# regeneration) — measured ~2 ms/layer of pure mask arithmetic
+# (exp/dropout_cost_probe.py).  The TPU's hardware PRNG generates the
+# same Bernoulli mask in ~1 generate + 1 compare per element.
+#
+# Reproducibility contract: the PRNG is re-seeded every _HW_CHUNK rows
+# of the block's batch axis with (seed, tag*MIX + absolute_chunk_index),
+# so ANY blocking whose row count is a multiple of _HW_CHUNK regenerates
+# the identical mask — the backward kernel (smaller batch block) agrees
+# with the forward bit-for-bit.  NOT bit-compatible across kernel
+# geometries (packed/wide/loop lay scores out differently) or across
+# backends (interpret mode lacks the PRNG primitives and falls back to
+# the hash) — the Bernoulli distribution is identical everywhere, only
+# the sampled mask differs.  Runs that need one mask across geometries
+# use dropout_impl="hash".
+
+_HW_CHUNK = 8
+_HW_TAG_MIX = np.int32(np.uint32(0x9E3779B1).view(np.int32))
+
+
+def _hw_block(bb: int) -> int:
+    """Round a batch block down to the _HW_CHUNK multiple the hw-PRNG
+    mask contract requires (min one chunk; Pallas pads short blocks)."""
+    return max(_HW_CHUNK, bb // _HW_CHUNK * _HW_CHUNK)
+
+
+def _hw_keep(shape, p: float, seed, tag, row0, chunk: int = _HW_CHUNK):
+    """Scaled keep-mask over ``shape`` (rows first) from the hardware
+    PRNG — see the contract note above.  ``tag`` distinguishes
+    same-row generates (head group / head index); ``row0`` is the
+    block's first global row (a multiple of ``chunk``).  ``chunk`` is
+    the re-seed granularity: the caller must pass the SAME value to the
+    forward and backward kernels, each of whose block rows and row
+    offsets are multiples of it (gcd of the two block sizes).  Bigger
+    chunks amortize the per-generate reseed cost (a (8, F) generate is
+    overhead-bound; a (256, F) one is not)."""
+    rows = int(shape[0])
+    assert rows % chunk == 0, (shape, chunk)
+    thresh = np.uint32(int(p * (2**32)))
+    chunk0 = row0.astype(jnp.int32) // np.int32(chunk)
+    tagmix = jnp.asarray(tag, jnp.int32) * _HW_TAG_MIX
+    parts = []
+    for c in range(rows // chunk):
+        pltpu.prng_seed(seed, tagmix + chunk0 + np.int32(c))
+        parts.append(
+            pltpu.bitcast(
+                pltpu.prng_random_bits((chunk,) + tuple(shape[1:])),
+                jnp.uint32,
+            )
+        )
+    bits = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    keep = (bits >= thresh).astype(jnp.float32)
+    return keep / (1.0 - p)
+
+
+def _resolve_dropout_impl(dropout_impl: str, interpret: bool) -> str:
+    """interpret mode (CPU tests / non-TPU backends) lacks the Mosaic
+    PRNG primitives: fall back to the hash there.  fwd and bwd resolve
+    identically, so the pair always agrees on the mask."""
+    if dropout_impl == "hw" and interpret:
+        return "hash"
+    if dropout_impl not in ("hash", "hw"):
+        raise ValueError(f"dropout_impl must be 'hash' or 'hw', got {dropout_impl!r}")
+    return dropout_impl
+
+
 def dropout_keep_reference(B: int, Kq: int, Kk: int, n_heads: int, p: float, seed: int):
     """Numpy oracle of the in-kernel mask -> (H, B, Kq, Kk) scaled keep."""
     r = np.arange(B, dtype=np.uint32)[None, :, None, None]
@@ -122,7 +191,7 @@ def dropout_keep_reference(B: int, Kq: int, Kk: int, n_heads: int, p: float, see
 
 def _attn_fwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
-    K: int, dropout_p: float,
+    K: int, dropout_p: float, dropout_impl: str = "hash",
 ):
     i = pl.program_id(0)
     q = q_ref[...]  # (Bb, Kp, D), compute dtype (bf16 under amp)
@@ -145,7 +214,10 @@ def _attn_fwd_kernel(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if dropout_p > 0.0:
-            p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
+            if dropout_impl == "hw":
+                p = p * _hw_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
+            else:
+                p = p * _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
         vh = v * _head_mask(h, dh, D).astype(v.dtype)
         return o + jax.lax.dot_general(
             p.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
@@ -159,7 +231,7 @@ def _attn_fwd_kernel(
 def _attn_bwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int,
-    dropout_p: float, B_total: int,
+    dropout_p: float, B_total: int, dropout_impl: str = "hash",
 ):
     i = pl.program_id(0)
     q = q_ref[...]
@@ -191,7 +263,10 @@ def _attn_bwd_kernel(
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         if dropout_p > 0.0:
-            keep = _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
+            if dropout_impl == "hw":
+                keep = _hw_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
+            else:
+                keep = _dropout_keep(p.shape, dropout_p, seed_ref[0], h, i * Bb)
             pd = p * keep
         else:
             keep = None
@@ -272,7 +347,8 @@ def _dropout_keep_packed(shape, p: float, seed, Kp: int, row0, head0):
     return keep / (1.0 - p)
 
 
-def _packed_group_scores(q, k, bias_t, g0, G, dh, dropout_p, seed, row0):
+def _packed_group_scores(q, k, bias_t, g0, G, dh, dropout_p, seed, row0,
+                         dropout_impl="hash"):
     """Scores for heads g0..g0+G-1, packed into the matmul ROW dim:
     Qexp[b, g*Kp+q] = Q[b,q] ∘ m_{g0+g}, so S = Qexp K^T is ONE
     M=G*Kp matmul per batch row instead of G M=Kp matmuls.  With
@@ -292,9 +368,12 @@ def _packed_group_scores(q, k, bias_t, g0, G, dh, dropout_p, seed, row0):
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if dropout_p > 0.0:
-        keep = _dropout_keep_packed(
-            p.shape, dropout_p, seed, Kp, row0, g0 * jnp.int32(1)
-        )
+        if dropout_impl == "hw":
+            keep = _hw_keep(p.shape, dropout_p, seed, g0, row0)
+        else:
+            keep = _dropout_keep_packed(
+                p.shape, dropout_p, seed, Kp, row0, g0 * jnp.int32(1)
+            )
         return p, p * keep, keep
     return p, p, None
 
@@ -309,14 +388,15 @@ def _packed_bias(bias, colmask_row, G: int):
     return bias_t + colmask_row
 
 
-def _packed_attend_fwd(q, k, v, bias_t, seed, row0, *, H, dh, G, dropout_p):
+def _packed_attend_fwd(q, k, v, bias_t, seed, row0, *, H, dh, G, dropout_p,
+                       dropout_impl="hash"):
     """Packed-group attention forward core -> o (bb, Kp, D) fp32."""
     bb, Kp, D = q.shape
 
     def group(g, o):
         g0 = g * G
         _, pd, _ = _packed_group_scores(
-            q, k, bias_t, g0, G, dh, dropout_p, seed, row0
+            q, k, bias_t, g0, G, dh, dropout_p, seed, row0, dropout_impl
         )
         o_exp = jax.lax.dot_general(
             pd.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -331,6 +411,7 @@ def _packed_attend_fwd(q, k, v, bias_t, seed, row0, *, H, dh, G, dropout_p):
 def _attn_fwd_kernel_packed(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H: int, dh: int,
     K: int, G: int, dropout_p: float, wide: bool = False,
+    dropout_impl: str = "hash",
 ):
     i = pl.program_id(0)
     q = q_ref[...]
@@ -341,19 +422,19 @@ def _attn_fwd_kernel_packed(
         bias_w = _wide_bias(bias_ref[...], colmask, H)
         o = _wide_attend_fwd(
             q, k_ref[...], v_ref[...], bias_w, seed_ref[0], i * bb,
-            H=H, dh=dh, dropout_p=dropout_p,
+            H=H, dh=dh, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     else:
         bias_t = _packed_bias(bias_ref[...], colmask, G)
         o = _packed_attend_fwd(
             q, k_ref[...], v_ref[...], bias_t, seed_ref[0], i * bb,
-            H=H, dh=dh, G=G, dropout_p=dropout_p,
+            H=H, dh=dh, G=G, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _packed_attend_bwd(q, k, v, do, bias_t, seed, row0, *, H, dh, G,
-                       dropout_p):
+                       dropout_p, dropout_impl="hash"):
     """Packed-group attention backward core
     -> (dq, dk, dv (bb, Kp, D) fp32, dbias (Kp, Kp) fp32)."""
     bb, Kp, D = q.shape
@@ -363,7 +444,7 @@ def _packed_attend_bwd(q, k, v, do, bias_t, seed, row0, *, H, dh, G,
         dq, dk, dv, dbias = carry
         g0 = g * G
         p, pd, keep = _packed_group_scores(
-            q, k, bias_t, g0, G, dh, dropout_p, seed, row0
+            q, k, bias_t, g0, G, dh, dropout_p, seed, row0, dropout_impl
         )
         m4 = _group_mask4(g0, G, dh, D, do.dtype)
         doexp = (do[:, None, :, :] * m4).reshape(bb, G * Kp, D)
@@ -413,6 +494,7 @@ def _attn_bwd_kernel_packed(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref, *, H: int, dh: int, K: int, G: int,
     dropout_p: float, B_total: int, wide: bool = False,
+    dropout_impl: str = "hash",
 ):
     i = pl.program_id(0)
     q = q_ref[...]
@@ -432,13 +514,13 @@ def _attn_bwd_kernel_packed(
         bias_w = _wide_bias(bias_ref[...], colmask, H)
         dq, dk, dv, dbias = _wide_attend_bwd(
             q, k, v, do, bias_w, seed_ref[0], i * bb,
-            H=H, dh=dh, dropout_p=dropout_p,
+            H=H, dh=dh, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     else:
         bias_t = _packed_bias(bias_ref[...], colmask, G)
         dq, dk, dv, dbias = _packed_attend_bwd(
             q, k, v, do, bias_t, seed_ref[0], i * bb,
-            H=H, dh=dh, G=G, dropout_p=dropout_p,
+            H=H, dh=dh, G=G, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
@@ -515,7 +597,8 @@ def _block_softmax(s, H: int, Kp: int):
     return jnp.concatenate(parts, axis=2)
 
 
-def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0):
+def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0,
+                 dropout_impl="hash"):
     """-> (P fp32, Pd, keep or None), shapes (bb, Kp, H*Kp)."""
     bb, Kp, D = q.shape
     scale = 1.0 / np.sqrt(dh)
@@ -525,7 +608,10 @@ def _wide_scores(q, khat, bias_w, *, H, dh, dropout_p, seed, row0):
     s = s + bias_w
     p = _block_softmax(s, H, Kp)
     if dropout_p > 0.0:
-        keep = _dropout_keep_wide(p.shape, dropout_p, seed, Kp, row0)
+        if dropout_impl == "hw":
+            keep = _hw_keep(p.shape, dropout_p, seed, jnp.int32(0), row0)
+        else:
+            keep = _dropout_keep_wide(p.shape, dropout_p, seed, Kp, row0)
         return p, p * keep, keep
     return p, p, None
 
@@ -543,12 +629,14 @@ def _unhat(that, H: int, Kp: int, dh: int):
     return out
 
 
-def _wide_attend_fwd(q, k, v, bias_w, seed, row0, *, H, dh, dropout_p):
+def _wide_attend_fwd(q, k, v, bias_w, seed, row0, *, H, dh, dropout_p,
+                     dropout_impl="hash"):
     """Wide attention forward core -> o (bb, Kp, D) fp32."""
     khat = _hat(k, H, dh)
     vhat = _hat(v, H, dh)
     _, pd, _ = _wide_scores(
-        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
+        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed,
+        row0=row0, dropout_impl=dropout_impl,
     )
     return jax.lax.dot_general(
         pd.astype(v.dtype), vhat, (((2,), (1,)), ((0,), (0,))),
@@ -556,14 +644,16 @@ def _wide_attend_fwd(q, k, v, bias_w, seed, row0, *, H, dh, dropout_p):
     )  # (bb, Kp, D)
 
 
-def _wide_attend_bwd(q, k, v, do, bias_w, seed, row0, *, H, dh, dropout_p):
+def _wide_attend_bwd(q, k, v, do, bias_w, seed, row0, *, H, dh, dropout_p,
+                     dropout_impl="hash"):
     """-> (dq, dk, dv (bb, Kp, D) fp32, dbias (Kp, Kp) fp32)."""
     bb, Kp, D = q.shape
     scale = 1.0 / np.sqrt(dh)
     khat = _hat(k, H, dh)
     vhat = _hat(v, H, dh)
     p, pd, keep = _wide_scores(
-        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed, row0=row0
+        q, khat, bias_w, H=H, dh=dh, dropout_p=dropout_p, seed=seed,
+        row0=row0, dropout_impl=dropout_impl,
     )
     # dVhat = Pd^T dO, then fold head blocks back onto their dim slices
     dvhat = jax.lax.dot_general(
@@ -617,7 +707,7 @@ def _qkv_project(x, wq, wk, wv, bq, bk, bv):
 def _attn_fwd_kernel_packed_qkv(
     x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     bias_ref, seed_ref, o_ref, *, H: int, dh: int, K: int, G: int,
-    dropout_p: float, wide: bool = False,
+    dropout_p: float, wide: bool = False, dropout_impl: str = "hash",
 ):
     """Fused qkv-projection + packed/wide attention: the (B, K, 3D) qkv
     tensor never exists in HBM (the 3-D XLA form spent ~4.6 ms/layer
@@ -636,13 +726,13 @@ def _attn_fwd_kernel_packed_qkv(
         bias_w = _wide_bias(bias_ref[...], colmask, H)
         o = _wide_attend_fwd(
             q, k, v, bias_w, seed_ref[0], i * bb,
-            H=H, dh=dh, dropout_p=dropout_p,
+            H=H, dh=dh, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     else:
         bias_t = _packed_bias(bias_ref[...], colmask, G)
         o = _packed_attend_fwd(
             q, k, v, bias_t, seed_ref[0], i * bb,
-            H=H, dh=dh, G=G, dropout_p=dropout_p,
+            H=H, dh=dh, G=G, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     o_ref[...] = o.astype(o_ref.dtype)
 
@@ -653,6 +743,7 @@ def _attn_bwd_kernel_packed_qkv(
     dx_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
     dbias_ref, *, H: int, dh: int, K: int, G: int,
     dropout_p: float, B_total: int, wide: bool = False,
+    dropout_impl: str = "hash",
 ):
     """Backward of the qkv-fused forward: recomputes q/k/v from x (one
     extra tiny dot per stream), runs the packed attention backward,
@@ -687,13 +778,13 @@ def _attn_bwd_kernel_packed_qkv(
         bias_w = _wide_bias(bias_ref[...], colmask, H)
         dq, dk, dv, dbias = _wide_attend_bwd(
             q, k, v, do, bias_w, seed_ref[0], i * bb,
-            H=H, dh=dh, dropout_p=dropout_p,
+            H=H, dh=dh, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     else:
         bias_t = _packed_bias(bias_ref[...], colmask, G)
         dq, dk, dv, dbias = _packed_attend_bwd(
             q, k, v, do, bias_t, seed_ref[0], i * bb,
-            H=H, dh=dh, G=G, dropout_p=dropout_p,
+            H=H, dh=dh, G=G, dropout_p=dropout_p, dropout_impl=dropout_impl,
         )
     x2 = x.reshape(bb * Kp, D)
     dx = jnp.zeros((bb * Kp, D), jnp.float32)
@@ -784,8 +875,9 @@ def _adaptive_block(block_b: int, B: int, Kp: int) -> int:
 
 
 def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
-              impl="loop"):
+              impl="loop", dropout_impl="hash"):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
@@ -801,12 +893,15 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
     else:
         bb = _adaptive_block(block_b, B, Kp)
         kern = _attn_fwd_kernel
+    if dropout_impl == "hw":
+        bb = _hw_block(bb)
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     grid = (_cdiv(B, bb),)
     out = pl.pallas_call(
         functools.partial(
-            kern, H=H, dh=dh, K=K, dropout_p=float(dropout_p)
+            kern, H=H, dh=dh, K=K, dropout_p=float(dropout_p),
+            dropout_impl=dropout_impl,
         ),
         grid=grid,
         in_specs=[
@@ -824,8 +919,9 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
 
 
 def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
-              impl="loop"):
+              impl="loop", dropout_impl="hash"):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     B, K, D = q.shape
     dh = D // H
     Kp = _round_up(K, 8)
@@ -843,6 +939,8 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
     else:
         bb = max(1, _adaptive_block(block_b, B, Kp) // 2)
         kern = _attn_bwd_kernel
+    if dropout_impl == "hw":
+        bb = _hw_block(bb)
     qp, kp, vp = _pad_kdim(q, Kp), _pad_kdim(k, Kp), _pad_kdim(v, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
@@ -850,7 +948,7 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(
             kern, H=H, dh=dh, K=K, dropout_p=float(dropout_p),
-            B_total=B,
+            B_total=B, dropout_impl=dropout_impl,
         ),
         grid=grid,
         in_specs=[
@@ -895,8 +993,9 @@ def _adaptive_block_wide(block_b: int, B: int, Kp: int, H: int) -> int:
 
 
 def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
-                  interpret, impl="packed"):
+                  interpret, impl="packed", dropout_impl="hash"):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     B, K, D = x.shape
     dh = D // H
     Kp = _round_up(K, 8)
@@ -907,6 +1006,8 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
         if wide
         else _adaptive_block_packed(block_b, B, Kp, G)
     )
+    if dropout_impl == "hw":
+        bb = _hw_block(bb)
     xp = _pad_kdim(x, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
     wq, wk, wv, bq, bk, bv = _split_qkv_params(wqkv, bqkv, D)
@@ -916,7 +1017,7 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
     out = pl.pallas_call(
         functools.partial(
             _attn_fwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
-            dropout_p=float(dropout_p), wide=wide,
+            dropout_p=float(dropout_p), wide=wide, dropout_impl=dropout_impl,
         ),
         grid=grid,
         in_specs=[
@@ -933,8 +1034,9 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
 
 
 def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
-                  interpret, impl="packed"):
+                  interpret, impl="packed", dropout_impl="hash"):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     B, K, D = x.shape
     dh = D // H
     Kp = _round_up(K, 8)
@@ -948,6 +1050,8 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
             else _adaptive_block_packed(block_b, B, Kp, G)
         ) // _bwd_block_div(),
     )
+    if dropout_impl == "hw":
+        bb = _hw_block(bb)
     xp = _pad_kdim(x, Kp)
     dop = _pad_kdim(do, Kp)
     biasp = jnp.pad(bias, ((0, Kp - K), (0, Kp - K)))
@@ -959,6 +1063,7 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
         functools.partial(
             _attn_bwd_kernel_packed_qkv, H=H, dh=dh, K=K, G=G,
             dropout_p=float(dropout_p), B_total=B, wide=wide,
+            dropout_impl=dropout_impl,
         ),
         grid=grid,
         in_specs=[
@@ -997,10 +1102,11 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_mha_qkv(x, wqkv, bqkv, bias, seed, n_heads: int,
                   dropout_p: float = 0.0, block_b: int = 64,
-                  interpret: bool = False, impl: str = "packed"):
+                  interpret: bool = False, impl: str = "packed",
+                  dropout_impl: str = "hash"):
     """Fused qkv-projection + multi-head attention.
 
     x (B, K, D); wqkv (D, 3D); bqkv (3D,); bias (K, K) head-shared;
@@ -1013,27 +1119,35 @@ def fused_mha_qkv(x, wqkv, bqkv, bias, seed, n_heads: int,
 
     ``impl``: "packed" (heads in the matmul row dim) or "wide" (heads
     in the matmul column dim via head-masked hat tensors — ONE S and
-    ONE O dot per batch row, half the MXU row-passes at D=64/H=8)."""
+    ONE O dot per batch row, half the MXU row-passes at D=64/H=8).
+
+    ``dropout_impl``: "hash" (counter-based, numpy-reproducible,
+    bit-identical across geometries) or "hw" (hardware PRNG, ~2 VPU
+    ops/element instead of ~15 — see the contract note at _hw_keep)."""
     return _fwd_call_qkv(
         x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
 
 
 def _fused_mha_qkv_fwd(x, wqkv, bqkv, bias, seed, n_heads, dropout_p,
-                       block_b, interpret, impl):
+                       block_b, interpret, impl, dropout_impl):
     out = _fwd_call_qkv(
         x, wqkv, bqkv, bias, seed, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
     return out, (x, wqkv, bqkv, bias, seed)
 
 
-def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, impl, res, g):
+def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, impl,
+                       dropout_impl, res, g):
     x, wqkv, bqkv, bias, seed = res
     dx, dwqkv, dbqkv, dbias = _bwd_call_qkv(
         x, wqkv, bqkv, bias, seed, g, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
     return dx, dwqkv, dbqkv, dbias, jnp.zeros_like(seed)
 
@@ -1041,10 +1155,10 @@ def _fused_mha_qkv_bwd(n_heads, dropout_p, block_b, interpret, impl, res, g):
 fused_mha_qkv.defvjp(_fused_mha_qkv_fwd, _fused_mha_qkv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
               block_b: int = 64, interpret: bool = False,
-              impl: str = "packed"):
+              impl: str = "packed", dropout_impl: str = "hash"):
     """softmax((QK^T)/sqrt(dh) + bias) V for all heads, fused.
 
     q/k/v: (B, K, D) packed head-major (D = n_heads * dh); bias (K, K)
@@ -1055,28 +1169,33 @@ def fused_mha(q, k, v, bias, seed, n_heads: int, dropout_p: float = 0.0,
     ONE M=H*K dot per batch row instead of H M=K dots, ~4x the MXU row
     occupancy at D=64; "loop" is the round-1 per-head fori_loop kernel
     (kept as the second oracle).  Both produce bit-identical dropout
-    masks (same absolute-coordinate hash).
+    masks (same absolute-coordinate hash) under dropout_impl="hash";
+    "hw" swaps in the hardware-PRNG mask (see _hw_keep).
     """
     return _fwd_call(
         q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
 
 
 def _fused_mha_fwd(q, k, v, bias, seed, n_heads, dropout_p, block_b,
-                   interpret, impl):
+                   interpret, impl, dropout_impl):
     out = _fwd_call(
         q, k, v, bias, seed, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
     return out, (q, k, v, bias, seed)
 
 
-def _fused_mha_bwd(n_heads, dropout_p, block_b, interpret, impl, res, g):
+def _fused_mha_bwd(n_heads, dropout_p, block_b, interpret, impl,
+                   dropout_impl, res, g):
     q, k, v, bias, seed = res
     dq, dk, dv, dbias = _bwd_call(
         q, k, v, bias, seed, g, H=n_heads, dropout_p=dropout_p,
         block_b=block_b, interpret=interpret, impl=impl,
+        dropout_impl=dropout_impl,
     )
     return dq, dk, dv, dbias, jnp.zeros_like(seed)
 

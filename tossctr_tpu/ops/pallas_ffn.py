@@ -35,7 +35,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _cdiv, _fmix32, _resolve_interpret, _round_up
+from .pallas_attention import (
+    _cdiv, _fmix32, _hw_block, _hw_keep, _resolve_dropout_impl,
+    _resolve_interpret, _round_up,
+)
 from .pallas_attention import _MIX_R, _MIX_Q, _MIX_S
 
 _SQRT_2_OVER_PI = np.float32(np.sqrt(2.0 / np.pi))
@@ -79,25 +82,43 @@ def ffn_keep_reference(N: int, F: int, p: float, seed: int):
     return keep / (1.0 - p)
 
 
-def _hidden(x, w1, b1, seed, i, bn, dropout_p):
+def _ffn_hw_chunk(block_n: int, N: int) -> int:
+    """Re-seed granularity for the hw-PRNG hidden mask: the gcd of the
+    forward (block_n) and backward (block_n // 2) row blocks, so both
+    kernels regenerate the identical mask with the fewest reseeds (a
+    512/256 blocking reseeds once per 256 rows instead of per 8)."""
+    import math
+
+    bn_f = _hw_block(min(block_n, _round_up(N, 8)))
+    bn_b = _hw_block(min(max(8, block_n // 2), _round_up(N, 8)))
+    return math.gcd(bn_f, bn_b)
+
+
+def _hidden(x, w1, b1, seed, i, bn, dropout_p, dropout_impl="hash",
+            hw_chunk=8):
     """(bn, D) block -> (h fp32, dropped gelu output fp32, keep or None)."""
     h = jax.lax.dot(
         x, w1, preferred_element_type=jnp.float32
     ) + b1.astype(jnp.float32)
     g = _gelu_tanh(h)
     if dropout_p > 0.0:
-        keep = _ffn_keep(g.shape, dropout_p, seed, i * bn)
+        if dropout_impl == "hw":
+            keep = _hw_keep(g.shape, dropout_p, seed, jnp.int32(0), i * bn,
+                            hw_chunk)
+        else:
+            keep = _ffn_keep(g.shape, dropout_p, seed, i * bn)
         return h, g * keep, keep
     return h, g, None
 
 
 def _ffn_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, seed_ref, y_ref,
-                    *, dropout_p: float):
+                    *, dropout_p: float, dropout_impl: str = "hash",
+                    hw_chunk: int = 8):
     i = pl.program_id(0)
     x = x_ref[...]
     bn = x.shape[0]
     _, gd, _ = _hidden(x, w1_ref[...], b1_ref[...], seed_ref[0], i, bn,
-                       dropout_p)
+                       dropout_p, dropout_impl, hw_chunk)
     y = jax.lax.dot(
         gd.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32
     ) + b2_ref[...].astype(jnp.float32)
@@ -107,7 +128,8 @@ def _ffn_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, seed_ref, y_ref,
 def _ffn_bwd_kernel(
     x_ref, w1_ref, b1_ref, w2_ref, seed_ref, dy_ref,
     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, dropout_p: float, N_total: int,
+    *, dropout_p: float, N_total: int, dropout_impl: str = "hash",
+    hw_chunk: int = 8,
 ):
     i = pl.program_id(0)
     x = x_ref[...]
@@ -122,7 +144,8 @@ def _ffn_bwd_kernel(
 
     w1 = w1_ref[...]
     w2 = w2_ref[...]
-    h, gd, keep = _hidden(x, w1, b1_ref[...], seed_ref[0], i, bn, dropout_p)
+    h, gd, keep = _hidden(x, w1, b1_ref[...], seed_ref[0], i, bn, dropout_p,
+                          dropout_impl, hw_chunk)
 
     dyf = dy.astype(jnp.float32)
     # dW2 += gd^T dy ; db2 += sum(dy)
@@ -167,14 +190,19 @@ def _pad_rows(x, Np):
     return x if x.shape[0] == Np else jnp.pad(x, ((0, Np - x.shape[0]), (0, 0)))
 
 
-def _fwd_call(x, w1, b1, w2, b2, seed, *, dropout_p, block_n, interpret):
+def _fwd_call(x, w1, b1, w2, b2, seed, *, dropout_p, block_n, interpret,
+              dropout_impl="hash", hw_chunk=8):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     N, D = x.shape
     F = w1.shape[1]
     bn = min(block_n, _round_up(N, 8))
+    if dropout_impl == "hw":
+        bn = _hw_block(bn)
     Np = _round_up(N, bn)
     out = pl.pallas_call(
-        functools.partial(_ffn_fwd_kernel, dropout_p=float(dropout_p)),
+        functools.partial(_ffn_fwd_kernel, dropout_p=float(dropout_p),
+                          dropout_impl=dropout_impl, hw_chunk=hw_chunk),
         grid=(_cdiv(Np, bn),),
         in_specs=[
             pl.BlockSpec((bn, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -191,15 +219,20 @@ def _fwd_call(x, w1, b1, w2, b2, seed, *, dropout_p, block_n, interpret):
     return out[:N]
 
 
-def _bwd_call(x, w1, b1, w2, seed, dy, *, dropout_p, block_n, interpret):
+def _bwd_call(x, w1, b1, w2, seed, dy, *, dropout_p, block_n, interpret,
+              dropout_impl="hash", hw_chunk=8):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     N, D = x.shape
     F = w1.shape[1]
     bn = min(block_n, _round_up(N, 8))
+    if dropout_impl == "hw":
+        bn = _hw_block(bn)
     Np = _round_up(N, bn)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(
-            _ffn_bwd_kernel, dropout_p=float(dropout_p), N_total=N
+            _ffn_bwd_kernel, dropout_p=float(dropout_p), N_total=N,
+            dropout_impl=dropout_impl, hw_chunk=hw_chunk,
         ),
         grid=(_cdiv(Np, bn),),
         in_specs=[
@@ -229,29 +262,39 @@ def _bwd_call(x, w1, b1, w2, seed, dy, *, dropout_p, block_n, interpret):
     return dx[:N], dw1, db1.reshape(F), dw2, db2.reshape(D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_ffn(x, w1, b1, w2, b2, seed, dropout_p: float = 0.0,
-              block_n: int = 512, interpret: bool = False):
+              block_n: int = 512, interpret: bool = False,
+              dropout_impl: str = "hash"):
     """dropout(gelu_tanh(x @ w1 + b1), p) @ w2 + b2, fused in VMEM.
 
     x: (N, D); w1 (D, F); b1 (F,); w2 (F, D); b2 (D,); seed int32 (1,)
     for hidden dropout (ignored when dropout_p == 0).  Returns (N, D)
-    in x.dtype; weight/bias grads in fp32."""
+    in x.dtype; weight/bias grads in fp32.  ``dropout_impl``: "hash"
+    (numpy-reproducible counter hash) or "hw" (hardware PRNG — see
+    pallas_attention._hw_keep for the reproducibility contract)."""
     return _fwd_call(x, w1, b1, w2, b2, seed, dropout_p=dropout_p,
-                     block_n=block_n, interpret=interpret)
+                     block_n=block_n, interpret=interpret,
+                     dropout_impl=dropout_impl,
+                     hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]))
 
 
-def _fused_ffn_fwd(x, w1, b1, w2, b2, seed, dropout_p, block_n, interpret):
+def _fused_ffn_fwd(x, w1, b1, w2, b2, seed, dropout_p, block_n, interpret,
+                   dropout_impl):
     y = _fwd_call(x, w1, b1, w2, b2, seed, dropout_p=dropout_p,
-                  block_n=block_n, interpret=interpret)
+                  block_n=block_n, interpret=interpret,
+                  dropout_impl=dropout_impl,
+                  hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]))
     return y, (x, w1, b1, w2, seed)
 
 
-def _fused_ffn_bwd(dropout_p, block_n, interpret, res, dy):
+def _fused_ffn_bwd(dropout_p, block_n, interpret, dropout_impl, res, dy):
     x, w1, b1, w2, seed = res
     dx, dw1, db1, dw2, db2 = _bwd_call(
         x, w1, b1, w2, seed, dy, dropout_p=dropout_p,
         block_n=max(8, block_n // 2), interpret=interpret,
+        dropout_impl=dropout_impl,
+        hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]),
     )
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype), jnp.zeros_like(seed))
@@ -307,7 +350,7 @@ def _rms_bwd(dy, wn, inv, y_hat):
 
 
 def _block_tail_fwd_core(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
-                         row0, dropout_p):
+                         row0, dropout_p, dropout_impl="hash", hw_chunk=8):
     """Shared forward: returns every intermediate backward needs."""
     a = (jax.lax.dot(
         o, wout, preferred_element_type=jnp.float32
@@ -320,7 +363,11 @@ def _block_tail_fwd_core(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
     g = _gelu_tanh(h)
     keep = None
     if dropout_p > 0.0:
-        keep = _ffn_keep(g.shape, dropout_p, seed, row0)
+        if dropout_impl == "hw":
+            keep = _hw_keep(g.shape, dropout_p, seed, jnp.int32(0), row0,
+                            hw_chunk)
+        else:
+            keep = _ffn_keep(g.shape, dropout_p, seed, row0)
         g = g * keep
     ff = (jax.lax.dot(
         g.astype(x.dtype), w2, preferred_element_type=jnp.float32
@@ -333,6 +380,7 @@ def _block_tail_fwd_core(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
 def _block_tail_fwd_kernel(
     x_ref, o_ref, wout_ref, bout_ref, wn1_ref, w1_ref, b1_ref, w2_ref,
     b2_ref, wn2_ref, seed_ref, y_ref, *, dropout_p: float,
+    dropout_impl: str = "hash", hw_chunk: int = 8,
 ):
     i = pl.program_id(0)
     x = x_ref[...]
@@ -340,7 +388,7 @@ def _block_tail_fwd_kernel(
     *_, y2 = _block_tail_fwd_core(
         x, o_ref[...], wout_ref[...], bout_ref[...], wn1_ref[...],
         w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...], wn2_ref[...],
-        seed_ref[0], i * bn, dropout_p,
+        seed_ref[0], i * bn, dropout_p, dropout_impl, hw_chunk,
     )
     y_ref[...] = y2.astype(y_ref.dtype)
 
@@ -350,6 +398,7 @@ def _block_tail_bwd_kernel(
     b2_ref, wn2_ref, seed_ref, dy_ref,
     dx_ref, do_ref, dwout_ref, dbout_ref, dwn1_ref, dw1_ref, db1_ref,
     dw2_ref, db2_ref, dwn2_ref, *, dropout_p: float, N_total: int,
+    dropout_impl: str = "hash", hw_chunk: int = 8,
 ):
     i = pl.program_id(0)
     x = x_ref[...]
@@ -369,7 +418,7 @@ def _block_tail_bwd_kernel(
     wn2 = wn2_ref[...]
     a, y1, inv1, y_hat1, h, g, keep, inv2, y_hat2, _ = _block_tail_fwd_core(
         x, o, wout, bout_ref[...], wn1, w1, b1_ref[...], w2, b2_ref[...],
-        wn2, seed_ref[0], i * bn, dropout_p,
+        wn2, seed_ref[0], i * bn, dropout_p, dropout_impl, hw_chunk,
     )
     # norm2 backward
     dr2, dwn2 = _rms_bwd(dy, wn2, inv2, y_hat2)
@@ -447,15 +496,20 @@ def _tail_specs(bn, D, F):
 
 
 def _tail_fwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, *,
-                   dropout_p, block_n, interpret):
+                   dropout_p, block_n, interpret, dropout_impl="hash",
+                   hw_chunk=8):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     N, D = x.shape
     F = w1.shape[1]
     bn = min(block_n, _round_up(N, 8))
+    if dropout_impl == "hw":
+        bn = _hw_block(bn)
     Np = _round_up(N, bn)
     sp = _tail_specs(bn, D, F)
     out = pl.pallas_call(
-        functools.partial(_block_tail_fwd_kernel, dropout_p=float(dropout_p)),
+        functools.partial(_block_tail_fwd_kernel, dropout_p=float(dropout_p),
+                          dropout_impl=dropout_impl, hw_chunk=hw_chunk),
         grid=(_cdiv(Np, bn),),
         in_specs=[
             sp["x"], sp["x"], sp["wdd"], sp["vd"], sp["vd"], sp["wdf"],
@@ -473,16 +527,21 @@ def _tail_fwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, *,
 
 
 def _tail_bwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy, *,
-                   dropout_p, block_n, interpret):
+                   dropout_p, block_n, interpret, dropout_impl="hash",
+                   hw_chunk=8):
     interpret = _resolve_interpret(interpret)
+    dropout_impl = _resolve_dropout_impl(dropout_impl, interpret)
     N, D = x.shape
     F = w1.shape[1]
     bn = min(block_n, _round_up(N, 8))
+    if dropout_impl == "hw":
+        bn = _hw_block(bn)
     Np = _round_up(N, bn)
     sp = _tail_specs(bn, D, F)
     outs = pl.pallas_call(
         functools.partial(
-            _block_tail_bwd_kernel, dropout_p=float(dropout_p), N_total=N
+            _block_tail_bwd_kernel, dropout_p=float(dropout_p), N_total=N,
+            dropout_impl=dropout_impl, hw_chunk=hw_chunk,
         ),
         grid=(_cdiv(Np, bn),),
         in_specs=[
@@ -518,38 +577,44 @@ def _tail_bwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy, *,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def fused_block_tail(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
                      dropout_p: float = 0.0, block_n: int = 512,
-                     interpret: bool = False):
+                     interpret: bool = False, dropout_impl: str = "hash"):
     """rmsnorm(y1 + ffn(y1)) * wn2 where y1 = rmsnorm(x + o@wout+bout) * wn1.
 
     x, o: (N, D) bf16 (layer input and attention-core output); returns
     (N, D).  The (N, F) hidden, both residuals and both fp32 norm
     intermediates never touch HBM; all weight/bias grads accumulate in
     fp32 across the sequential grid.  ``seed``/``dropout_p`` drive the
-    FFN hidden dropout (same counter-based hash as fused_ffn)."""
+    FFN hidden dropout (``dropout_impl``: "hash" = the fused_ffn
+    counter hash, "hw" = hardware PRNG)."""
     return _tail_fwd_call(
         x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
         dropout_p=dropout_p, block_n=block_n, interpret=interpret,
+        dropout_impl=dropout_impl,
+        hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]),
     )
 
 
 def _fused_block_tail_fwd(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
-                          dropout_p, block_n, interpret):
+                          dropout_p, block_n, interpret, dropout_impl):
     y = _tail_fwd_call(
         x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed,
         dropout_p=dropout_p, block_n=block_n, interpret=interpret,
+        dropout_impl=dropout_impl,
+        hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]),
     )
     return y, (x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed)
 
 
-def _fused_block_tail_bwd(dropout_p, block_n, interpret, res, dy):
+def _fused_block_tail_bwd(dropout_p, block_n, interpret, dropout_impl, res, dy):
     x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed = res
     dx, do, dwout, dbout, dwn1, dw1, db1, dw2, db2, dwn2 = _tail_bwd_call(
         x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy,
         dropout_p=dropout_p, block_n=max(8, block_n // 2),
-        interpret=interpret,
+        interpret=interpret, dropout_impl=dropout_impl,
+        hw_chunk=_ffn_hw_chunk(block_n, x.shape[0]),
     )
     return (
         dx, do, dwout.astype(wout.dtype), dbout.astype(bout.dtype),
