@@ -211,7 +211,7 @@ def main():
     t0 = time.time()
     try:
         state, loss = train_step(state, batch_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
     except Exception as e:  # noqa: BLE001 — compile failures surface here
         # Safety tier for unvalidated backends: retry once with the
         # fused block-tail kernel disabled (same math, separate
@@ -229,26 +229,30 @@ def main():
             schedule=schedule,
         )
         state, loss = train_step(state, batch_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
     print(f"# compile+step1: {time.time()-t0:.1f}s loss={float(loss):.4f}")
 
     for _ in range(args.warmup - 1):
         state, loss = train_step(state, batch_dev)
-    jax.block_until_ready(loss)
+    float(loss)  # hard sync (block_until_ready lies on the tunnel backend)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for _ in range(args.steps):
         state, loss = train_step(state, batch_dev)
-    jax.block_until_ready(loss)
+    # NOTE: jax.block_until_ready is NOT a reliable sync on the axon
+    # tunnel backend (it can return before device work completes).
+    # Fetching the loss VALUE is: the last step's loss depends on the
+    # previous step's state, so this transitively drains every step.
+    last_loss = float(loss)
     dt = time.time() - t0
     if args.profile:
         jax.profiler.stop_trace()
 
     eps = args.steps * args.batch / dt
     step_ms = dt / args.steps * 1e3
-    print(f"# {args.steps} steps in {dt:.3f}s -> {step_ms:.1f} ms/step, loss={float(loss):.4f}")
+    print(f"# {args.steps} steps in {dt:.3f}s -> {step_ms:.1f} ms/step, loss={last_loss:.4f}")
 
     zipf_record = None
     if args.id_dist == "uniform":
@@ -259,11 +263,11 @@ def main():
         zb_dev = jax.device_put(zb)
         for _ in range(2):
             state, loss = train_step(state, zb_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
         t0 = time.time()
         for _ in range(args.steps):
             state, loss = train_step(state, zb_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
         zdt = time.time() - t0
         zipf_record = {
             "ms_per_step": round(zdt / args.steps * 1e3, 2),

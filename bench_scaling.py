@@ -157,15 +157,15 @@ def main():
 
         t0 = time.time()
         state, loss = step(state, batch_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync: block_until_ready is unreliable on the tunnel backend
         compile_s = time.time() - t0
         for _ in range(args.warmup):
             state, loss = step(state, batch_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
         t0 = time.time()
         for _ in range(args.steps):
             state, loss = step(state, batch_dev)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync
         dt = time.time() - t0
         ms = dt / args.steps * 1e3
         eps = args.steps * cfg.train.batch_size / dt
