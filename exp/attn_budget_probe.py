@@ -33,14 +33,20 @@ def main():
     seed = jnp.zeros((1,), jnp.int32)
     g = jnp.ones((B, K, D), jnp.bfloat16)
 
-    def chain(name, fn, state, iters=8):
-        state = fn(state)
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state = fn(state)
-        jax.block_until_ready(state)
-        ms = (time.perf_counter() - t0) / iters * 1e3
+    def chain(name, fn, state, lo=3, hi=9):
+        # block_until_ready can return early on the tunnel backend:
+        # sync by FETCHING a value, and report the marginal cost between
+        # two iteration counts so warmup/dispatch cancels out.
+        totals = {}
+        for iters in (lo, hi):
+            st = fn(state)
+            _ = np.asarray(st[:1, :1, :1])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st = fn(st)
+            _ = np.asarray(st[:1, :1, :1])
+            totals[iters] = time.perf_counter() - t0
+        ms = (totals[hi] - totals[lo]) / (hi - lo) * 1e3
         print(f"{name}: {ms:.2f} ms", flush=True)
         return ms
 
@@ -48,7 +54,12 @@ def main():
 
     for mb in (1, 2, 4, 8):
         # the budget env var is read at TRACE time (inside
-        # _adaptive_block_packed); each loop traces fresh jits
+        # _adaptive_block_packed); each loop traces fresh jits.
+        # TOSSCTR_PALLAS_VMEM_MB (ops/_vmem.py) raises Mosaic's 16 MB
+        # scoped-VMEM ceiling per kernel, which is what rejected bb>=64
+        # in round 2 — the axon backend takes no global XLA flag, but
+        # pltpu.CompilerParams(vmem_limit_bytes=...) works per-call.
+        os.environ.setdefault("TOSSCTR_PALLAS_VMEM_MB", "100")
         os.environ["TOSSCTR_ATTN_SCORE_BUDGET_MB"] = str(mb)
 
         def fwd(xs, pa=pa):

@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tossctr_tpu.ops._vmem import kernel_compiler_params
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -843,13 +845,17 @@ def _bwd_block_div() -> int:
 
 
 def _score_budget_bytes() -> int:
-    """Per-score-tensor VMEM budget.  Default 1 MB keeps the packed
-    kernels inside the 16 MB scoped-VMEM limit (bb=64 at G*Kp=128,
-    Kp=64 measured 16.82 MB scoped and was rejected by Mosaic; bb=32
-    fits).  When running with a raised --xla_tpu_scoped_vmem_limit_kib,
-    set TOSSCTR_ATTN_SCORE_BUDGET_MB to scale blocks up."""
+    """Per-score-tensor VMEM budget, sized against the Mosaic VMEM
+    limit every pallas_call in this package raises per-kernel
+    (ops/_vmem.py — pltpu.CompilerParams(vmem_limit_bytes=...); the
+    global --xla_tpu_scoped_vmem_limit_kib flag is rejected by some
+    backends, which is what capped round 2 at bb=32).  Default 4 MB
+    -> bb_fwd=128 / bb_bwd=64 at G*Kp=128, Kp=64: the measured optimum
+    of the {1,2,4,8} MB x {div 1,2} sweep on v5e (fwd+bwd 12.65 ->
+    11.50 ms/layer, exp/attn_budget_probe.py); 8 MB (bb=256) is slower
+    and its bwd fails to compile even at a 100 MB limit."""
     mb = os.environ.get("TOSSCTR_ATTN_SCORE_BUDGET_MB")
-    return int(float(mb) * 1024 * 1024) if mb else 1024 * 1024
+    return int(float(mb) * 1024 * 1024) if mb else 4 * 1024 * 1024
 
 
 def _adaptive_block_packed(block_b: int, B: int, Kp: int, G: int) -> int:
@@ -914,6 +920,7 @@ def _fwd_call(q, k, v, bias, seed, *, H, dropout_p, block_b, interpret,
         out_specs=pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Kp, D), q.dtype),
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(qp, kp, vp, biasp, seed)
     return out[:, :K, :]
 
@@ -972,6 +979,7 @@ def _bwd_call(q, k, v, bias, seed, do, *, H, dropout_p, block_b, interpret,
             jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(qp, kp, vp, biasp, seed, dop)
     return dq[:, :K], dk[:, :K], dv[:, :K], dbias[:K, :K].astype(bias.dtype)
 
@@ -1029,6 +1037,7 @@ def _fwd_call_qkv(x, wqkv, bqkv, bias, seed, *, H, dropout_p, block_b,
         out_specs=pl.BlockSpec((bb, Kp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Kp, D), x.dtype),
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, wq, wk, wv, bq, bk, bv, biasp, seed)
     return out[:, :K, :]
 
@@ -1089,6 +1098,7 @@ def _bwd_call_qkv(x, wqkv, bqkv, bias, seed, do, *, H, dropout_p, block_b,
             jax.ShapeDtypeStruct((Kp, Kp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(xp, wq, wk, wv, bq, bk, bv, biasp, seed, dop)
     dwqkv = jnp.concatenate([dwq, dwk, dwv], axis=1).astype(wqkv.dtype)
     dbqkv = jnp.concatenate(

@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tossctr_tpu.ops._vmem import kernel_compiler_params
+
 from .pallas_attention import (
     _cdiv, _fmix32, _hw_block, _hw_keep, _resolve_dropout_impl,
     _resolve_interpret, _round_up,
@@ -215,6 +217,7 @@ def _fwd_call(x, w1, b1, w2, b2, seed, *, dropout_p, block_n, interpret,
         out_specs=pl.BlockSpec((bn, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(_pad_rows(x, Np), w1, b1.reshape(1, F), w2, b2.reshape(1, D), seed)
     return out[:N]
 
@@ -258,6 +261,7 @@ def _bwd_call(x, w1, b1, w2, seed, dy, *, dropout_p, block_n, interpret,
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(_pad_rows(x, Np), w1, b1.reshape(1, F), w2, seed, _pad_rows(dy, Np))
     return dx[:N], dw1, db1.reshape(F), dw2, db2.reshape(D)
 
@@ -518,6 +522,7 @@ def _tail_fwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, *,
         out_specs=sp["x"],
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(
         _pad_rows(x, Np), _pad_rows(o, Np), wout, bout.reshape(1, D),
         wn1.reshape(1, D), w1, b1.reshape(1, F), w2, b2.reshape(1, D),
@@ -565,6 +570,7 @@ def _tail_bwd_call(x, o, wout, bout, wn1, w1, b1, w2, b2, wn2, seed, dy, *,
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(
         _pad_rows(x, Np), _pad_rows(o, Np), wout, bout.reshape(1, D),
         wn1.reshape(1, D), w1, b1.reshape(1, F), w2, b2.reshape(1, D),

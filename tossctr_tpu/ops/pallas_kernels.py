@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tossctr_tpu.ops._vmem import kernel_compiler_params
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -153,6 +155,7 @@ def _fm_fwd_call(z, U, V, *, block_b: int, interpret: bool):
         out_specs=pl.BlockSpec((H, bb, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, B, P), jnp.float32),
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(z, U, V)
     return out.transpose(1, 0, 2).reshape(B, H * P).astype(z.dtype)
 
@@ -187,6 +190,7 @@ def _fm_bwd_call(z, U, V, g, *, block_b: int, interpret: bool):
             jax.ShapeDtypeStruct((H, R, P), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(z, U, V, g.reshape(B, H, P).transpose(1, 0, 2))
     return dz, dU.astype(U.dtype), dV.astype(V.dtype)
 

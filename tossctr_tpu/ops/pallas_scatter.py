@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tossctr_tpu.ops._vmem import kernel_compiler_params
+
 # fixed chunk of sorted update rows processed per inner iteration; also
 # the alignment of dynamic DMA starts (128 covers every dtype's sublane
 # tiling AND the 128-lane rows of the ids view)
@@ -227,6 +229,7 @@ def sweep_rows_add(
         # table input onto its output for in-place RMW
         input_output_aliases={1 + t: t for t in range(n_tab)},
         interpret=interpret,
+        compiler_params=kernel_compiler_params(),
     )(starts, *tables, packed_p, ids_rows)
     return list(out)
 
