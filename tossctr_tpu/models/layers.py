@@ -285,7 +285,7 @@ class DAREEncoderLayer(nn.Module):
             and self.norm.lower() == "rms"
         )
         if fused_block:
-            from ..ops.pallas_ffn import fused_block_tail
+            from ..ops.pallas_ffn import default_tail_block_n, fused_block_tail
 
             o, wout, bout = MultiHeadSelfAttention(
                 self.d_model, self.n_heads, self.mha_dropout,
@@ -302,7 +302,7 @@ class DAREEncoderLayer(nn.Module):
                 x.reshape(B * K, D), o.reshape(B * K, D),
                 wout.astype(self.dtype), bout, wn1,
                 w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, wn2,
-                seed, p, 512, False, self.dropout_impl,
+                seed, p, default_tail_block_n(), False, self.dropout_impl,
             )
             return y.reshape(B, K, D)
 

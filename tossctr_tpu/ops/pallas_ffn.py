@@ -28,6 +28,7 @@ grid blocking, and tests can reproduce it in numpy.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,16 @@ from .pallas_attention import _MIX_R, _MIX_Q, _MIX_S
 
 _SQRT_2_OVER_PI = np.float32(np.sqrt(2.0 / np.pi))
 _GELU_C = np.float32(0.044715)
+
+
+def default_tail_block_n() -> int:
+    """Row-block for the fused block-tail kernel (N = B*Kp rows at
+    flagship shapes).  512 ran a 1024/2048-launch grid that was mostly
+    launch overhead (layer bwd 5.1 ms/step in the round-3 trace); with
+    the per-kernel VMEM raise (ops/_vmem.py) 1024 measured fastest of
+    {512..8192} (exp/tail_block_probe.py).  Override:
+    TOSSCTR_TAIL_BLOCK_N (read at trace time)."""
+    return int(os.environ.get("TOSSCTR_TAIL_BLOCK_N", "1024"))
 
 
 def _gelu_tanh(h):

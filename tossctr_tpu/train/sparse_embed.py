@@ -50,6 +50,22 @@ def init_rowwise_adagrad(
     return RowwiseAdagradState(accum=jnp.full(shape, init_accum, jnp.float32))
 
 
+def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 1-D int32 cumsum via a two-level (row, lane)
+    decomposition: XLA's 1-D cumsum at N~500k lowers to a slow scan on
+    TPU; cumsum along the 512-lane minor axis plus a tiny row-offset
+    cumsum is a pure VPU pipeline."""
+    n = x.shape[0]
+    C = 512
+    if n % C:
+        return jnp.cumsum(x)
+    x2 = x.reshape(n // C, C)
+    w = jnp.cumsum(x2, axis=1)
+    tot = w[:, -1]
+    offs = jnp.cumsum(tot) - tot  # exclusive row offsets (n/C elements)
+    return (w + offs[:, None]).reshape(n)
+
+
 def dedup_rows(
     ids: jnp.ndarray, grads: jnp.ndarray, drop_index: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -61,7 +77,7 @@ def dedup_rows(
     the permutation payload (argsort + separate gather costs ~2x); the
     (N, D) grad permute runs in the input dtype (bf16 cotangents =
     half the traffic of permuting after the fp32 cast); the segment
-    ops get ``indices_are_sorted=True`` — segment ids are ascending by
+    sum gets ``indices_are_sorted=True`` — segment ids are ascending by
     construction, and the hint removes the scatter's sorting RMW
     penalty on TPU (sorted+unique scatter measured 3x cheaper than
     unsorted)."""
@@ -71,14 +87,17 @@ def dedup_rows(
     )
     g_s = jnp.take(grads, order, axis=0)
     first = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
-    seg = jnp.cumsum(first) - 1  # segment id per element, ascending
+    seg = _cumsum_i32(first.astype(jnp.int32)) - 1  # ascending segment ids
     g_uniq = jax.ops.segment_sum(
         g_s.astype(jnp.float32), seg, num_segments=n, indices_are_sorted=True
     )
-    # representative id per segment (ids_s at the segment's first element)
-    uid = jax.ops.segment_max(
-        jnp.where(first, ids_s, jnp.iinfo(ids_s.dtype).min), seg,
-        num_segments=n, indices_are_sorted=True,
+    # representative id per segment: segment j's representative is the
+    # j-th smallest unique id (ids_s ascends), so ONE cheap 1-D sort of
+    # (first ? id : INT_MAX) compacts them to the front in order — a
+    # segment_max scatter here measured 4.6 ms/step at B=8192 on v5e,
+    # the sort is sub-ms.
+    uid = jax.lax.sort(
+        jnp.where(first, ids_s, jnp.iinfo(ids_s.dtype).max)
     )
     n_unique = jnp.sum(first)
     valid = jnp.arange(n) < n_unique
@@ -148,12 +167,24 @@ def rowwise_adagrad_update(
     g = g_raw.astype(jnp.float32)
 
     def row_g2(gr):
-        """(N, W) -> per-half second moment: (N,) or (N, halves)."""
+        """(N, W) -> per-half second moment: (N,) or (N, halves).
+
+        The per-half means run as ``halves`` lane-masked full-width
+        reduces instead of a (N, halves, Dh) reshape+reduce: the (V,
+        halves) accumulator lives in a {0,1} (transposed-tile) layout,
+        and XLA satisfied the reshape form by transposing the FULL
+        (N, W) g^2 tensor (268 MB of layout copies per step at B=8192,
+        trace: mul.2060 + copy.605) rather than the (N, halves)
+        result."""
+        g2 = gr * gr
         if halves == 1:
-            return jnp.mean(gr * gr, axis=1)
-        return jnp.mean(
-            (gr * gr).reshape(-1, halves, Dh), axis=2
-        )  # (N, halves)
+            return jnp.mean(g2, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // Dh
+        cols = [
+            jnp.sum(jnp.where(lane == h, g2, 0.0), axis=1) / Dh
+            for h in range(halves)
+        ]
+        return jnp.stack(cols, axis=1)  # (N, halves)
 
     def widen(scale):
         """Per-half scale -> per-lane: (N,) -> (N,1) / (N,H) -> (N,W)."""
