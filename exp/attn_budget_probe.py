@@ -62,15 +62,19 @@ def main():
         os.environ.setdefault("TOSSCTR_PALLAS_VMEM_MB", "100")
         os.environ["TOSSCTR_ATTN_SCORE_BUDGET_MB"] = str(mb)
 
-        def fwd(xs, pa=pa):
-            return pa.fused_mha_qkv(xs, wqkv, bqkv, bias, seed, H,
-                                    dropout_p=0.1, block_b=512)
+        impl = os.environ.get("TOSSCTR_PROBE_IMPL", "packed")
 
-        def fwdbwd(xs, pa=pa):
+        def fwd(xs, pa=pa, impl=impl):
+            return pa.fused_mha_qkv(xs, wqkv, bqkv, bias, seed, H,
+                                    dropout_p=0.1, block_b=512, impl=impl,
+                                    dropout_impl="hw")
+
+        def fwdbwd(xs, pa=pa, impl=impl):
             def loss(xx):
                 return jnp.sum(
                     pa.fused_mha_qkv(xx, wqkv, bqkv, bias, seed, H,
-                                     dropout_p=0.1, block_b=512).astype(jnp.float32)
+                                     dropout_p=0.1, block_b=512, impl=impl,
+                                     dropout_impl="hw").astype(jnp.float32)
                     * g.astype(jnp.float32)
                 )
 
