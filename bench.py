@@ -158,6 +158,11 @@ def main():
                          "(the headline run also times a zipf:1.0 batch "
                          "and attaches it to the JSON line)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--rotate", type=int, default=8,
+                    help="number of distinct pre-staged batches cycled "
+                         "through the timed loop (1 = the old static-batch "
+                         "bench, which freezes the update path's duplicate "
+                         "structure and maximizes cache warmth)")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
@@ -192,7 +197,15 @@ def main():
             "seq_len": cfg.sequence.max_len}
     model = build_model(cfg, dims)
     rng = np.random.default_rng(0)
-    batch = synth_batch(cfg, n_num, rng, id_dist=args.id_dist)
+    # >=8 distinct batches rotate through the timed loop so the table
+    # update sees fresh row sets every step — one frozen batch re-touches
+    # the identical rows step over step, measuring the scatter/dedup path
+    # under an unrealistically repeated duplicate structure (VERDICT r3
+    # weak #4)
+    n_rot = max(1, args.rotate)
+    batches = [synth_batch(cfg, n_num, rng, id_dist=args.id_dist)
+               for _ in range(n_rot)]
+    batch = batches[0]
 
     tx, schedule = make_optimizer(cfg, steps_per_epoch=1000)
     t0 = time.time()
@@ -206,7 +219,8 @@ def main():
     train_step = make_train_step(
         model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask, schedule=schedule
     )
-    batch_dev = jax.device_put(batch)
+    batches_dev = [jax.device_put(b) for b in batches]
+    batch_dev = batches_dev[0]
 
     t0 = time.time()
     try:
@@ -232,15 +246,15 @@ def main():
         float(loss)  # hard sync
     print(f"# compile+step1: {time.time()-t0:.1f}s loss={float(loss):.4f}")
 
-    for _ in range(args.warmup - 1):
-        state, loss = train_step(state, batch_dev)
+    for i in range(args.warmup - 1):
+        state, loss = train_step(state, batches_dev[(i + 1) % n_rot])
     float(loss)  # hard sync (block_until_ready lies on the tunnel backend)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.time()
-    for _ in range(args.steps):
-        state, loss = train_step(state, batch_dev)
+    for i in range(args.steps):
+        state, loss = train_step(state, batches_dev[i % n_rot])
     # NOTE: jax.block_until_ready is NOT a reliable sync on the axon
     # tunnel backend (it can return before device work completes).
     # Fetching the loss VALUE is: the last step's loss depends on the
@@ -258,15 +272,17 @@ def main():
     if args.id_dist == "uniform":
         # skewed-id companion number (same compiled program, ids follow
         # zipf:1.0 — the duplicate-heavy regime real CTR streams live in)
-        zb = synth_batch(cfg, n_num, np.random.default_rng(1), id_dist="zipf:1.0")
-        uniq = len(np.unique(zb["seq"])) / zb["seq"].size
-        zb_dev = jax.device_put(zb)
-        for _ in range(2):
-            state, loss = train_step(state, zb_dev)
+        zrng = np.random.default_rng(1)
+        zbs = [synth_batch(cfg, n_num, zrng, id_dist="zipf:1.0")
+               for _ in range(n_rot)]
+        uniq = len(np.unique(zbs[0]["seq"])) / zbs[0]["seq"].size
+        zbs_dev = [jax.device_put(b) for b in zbs]
+        for i in range(2):
+            state, loss = train_step(state, zbs_dev[i % n_rot])
         float(loss)  # hard sync
         t0 = time.time()
-        for _ in range(args.steps):
-            state, loss = train_step(state, zb_dev)
+        for i in range(args.steps):
+            state, loss = train_step(state, zbs_dev[i % n_rot])
         float(loss)  # hard sync
         zdt = time.time() - t0
         zipf_record = {

@@ -68,11 +68,11 @@ def main():
 
     def bench(name, step, state, iters=ITERS):
         st = step(state)
-        jax.block_until_ready(st)
+        int(st[0])  # value fetch: block_until_ready lies on the tunnel backend
         t0 = time.perf_counter()
         for _ in range(iters):
             st = step(st)
-        jax.block_until_ready(st)
+        int(st[0])  # drains the whole dependent chain
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{name}: {dt:.2f} ms/call", flush=True)
 

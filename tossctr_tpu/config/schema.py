@@ -202,6 +202,13 @@ class TrainConfig:
     # saved step — samplers are pure functions of (seed, fold, epoch),
     # so the continued loss trajectory is bit-identical.
     step_checkpoint_interval: int = 0
+    # Final partial train batch per epoch: the reference TRAINS on it
+    # (torch DataLoader default drop_last=False, src/train.py:106-110).
+    # Static XLA shapes forbid a smaller batch, so the partial batch is
+    # padded to batch_size and the loss masks the padded rows (the
+    # `valid` mask) — same loss value and gradients as the reference's
+    # smaller batch.  True restores the old drop behaviour.
+    drop_partial_batch: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -13,6 +13,15 @@ unset uses ``_DEFAULT_MB``.  v5e has 128 MB of VMEM per core; leaving
 headroom for XLA's own scoped allocations, 64 MB is a safe raise that
 admits batch-block 64 in the packed attention kernels (measured: fwd
 5.6 -> smaller per-launch overhead; see exp/attn_budget_probe.py).
+
+The raise applies to EVERY pallas_call in the package, including
+kernels that never needed it (FFN, scatter sweep, FM) — deliberate:
+a uniform budget keeps the measured block-size tuning valid across
+kernels, and on a TPU generation with less VMEM than v5e the single
+env var (``TOSSCTR_PALLAS_VMEM_MB=0`` or a smaller value) restores
+the backend default everywhere; the attention block heuristics read
+the same switch and shrink their score budget to match
+(pallas_attention._score_budget_bytes).
 """
 
 from __future__ import annotations

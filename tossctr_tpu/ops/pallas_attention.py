@@ -855,7 +855,16 @@ def _score_budget_bytes() -> int:
     11.50 ms/layer, exp/attn_budget_probe.py); 8 MB (bb=256) is slower
     and its bwd fails to compile even at a 100 MB limit."""
     mb = os.environ.get("TOSSCTR_ATTN_SCORE_BUDGET_MB")
-    return int(float(mb) * 1024 * 1024) if mb else 4 * 1024 * 1024
+    if mb:
+        return int(float(mb) * 1024 * 1024)
+    # the 4 MB default presumes the per-kernel VMEM raise (ops/_vmem.py)
+    # is active; with it disabled (TOSSCTR_PALLAS_VMEM_MB=0) Mosaic's
+    # 16 MB default is back in force and bb=128 would be rejected at
+    # compile (16.82 MB scoped was refused at bb=64 in round 2) — fall
+    # back to the pre-raise 1 MB budget so the kernels still compile.
+    if kernel_compiler_params() is None:
+        return 1 * 1024 * 1024
+    return 4 * 1024 * 1024
 
 
 def _adaptive_block_packed(block_b: int, B: int, Kp: int, G: int) -> int:

@@ -42,6 +42,7 @@ def pairwise_auc_loss(
     rng: jax.Array,
     num_neg_per_pos: int = 8,
     hard_frac: float = 0.0,
+    valid=None,
 ) -> jnp.ndarray:
     """In-batch BPR/logistic pairwise loss with optional hard negatives
     (reference train.py:30-68; defined there but its invocation is
@@ -58,6 +59,13 @@ def pairwise_auc_loss(
     r = max(1, int(num_neg_per_pos))
 
     neg_mask = ~y
+    if valid is not None:
+        # padded rows of a partial batch are neither positives nor
+        # negatives: excluded from the categorical draw, the hard-neg
+        # top-k, and the pair weights entirely
+        v = valid.ravel().astype(bool)
+        y = y & v
+        neg_mask = neg_mask & v
     n_neg = jnp.sum(neg_mask)
     # categorical sample over negatives (uniform with replacement)
     logits_neg = jnp.where(neg_mask, 0.0, -jnp.inf)

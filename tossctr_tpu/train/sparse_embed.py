@@ -58,7 +58,11 @@ def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[0]
     C = 512
     if n % C:
-        return jnp.cumsum(x)
+        # pad to a C multiple with zeros (cumsum of zeros is exact) so
+        # non-flagship shapes keep the fast two-level form instead of
+        # silently reverting to the scalar scan
+        pad = C - n % C
+        return _cumsum_i32(jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]))[:n]
     x2 = x.reshape(n // C, C)
     w = jnp.cumsum(x2, axis=1)
     tot = w[:, -1]
@@ -81,6 +85,12 @@ def dedup_rows(
     construction, and the hint removes the scatter's sorting RMW
     penalty on TPU (sorted+unique scatter measured 3x cheaper than
     unsorted)."""
+    # Invariant: every real id must satisfy id < drop_index <
+    # iinfo(ids.dtype).max — iinfo.max is the in-sort padding sentinel
+    # below, so an id equal to it would be indistinguishable from
+    # padding.  Callers pass drop_index = vocab, far below INT32_MAX.
+    assert drop_index < jnp.iinfo(ids.dtype).max, (
+        "drop_index must leave the iinfo.max sentinel free")
     n = ids.shape[0]
     ids_s, order = jax.lax.sort(
         (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True

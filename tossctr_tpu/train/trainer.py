@@ -311,16 +311,27 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     else:
         _jit = partial(jax.jit, donate_argnums=(0,))
 
-    def total_loss(z, aux, y, rank_rng):
-        loss = bce_wll_style(z, y)
+    def total_loss(z, aux, y, rank_rng, valid=None):
+        # ``valid`` masks the padded rows of a final partial batch
+        # (train.drop_partial_batch=False, the reference behaviour) —
+        # the masked loss equals the reference's smaller-batch loss.
+        loss = bce_wll_style(z, y, valid=valid)
         if aux_w > 0:
-            loss = loss + aux_w * bce_wll_style(aux, y)
+            loss = loss + aux_w * bce_wll_style(aux, y, valid=valid)
         if lam_rank > 0:
             loss = loss + lam_rank * pairwise_auc_loss(
-                z, y, rank_rng, num_neg_per_pos=n_neg, hard_frac=hard_frac
+                z, y, rank_rng, num_neg_per_pos=n_neg, hard_frac=hard_frac,
+                valid=valid,
             )
         if lam_l2 > 0:
-            loss = loss + lam_l2 * logit_l2(z)
+            if valid is None:
+                loss = loss + lam_l2 * logit_l2(z)
+            else:
+                v = valid.astype(jnp.float32)
+                zz = z.astype(jnp.float32) ** 2
+                loss = loss + lam_l2 * (
+                    jnp.sum(zz * v) / jnp.maximum(jnp.sum(v), 1.0)
+                )
         return loss
 
     def finish(params, opt_state, step, ema, table_opt):
@@ -341,6 +352,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
         @_jit
         def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
             y = batch["y"]
+            valid = batch.get("valid")
             rng = jax.random.fold_in(base_key, state.step)
             drop_rng, rank_rng = jax.random.split(rng)
 
@@ -348,7 +360,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                 z, _, aux = model.apply(
                     params, batch, deterministic=False, rngs={"dropout": drop_rng}
                 )
-                return total_loss(z, aux, y, rank_rng)
+                return total_loss(z, aux, y, rank_rng, valid=valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -395,6 +407,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
     @_jit
     def train_step_sparse(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
         y = batch["y"]
+        valid = batch.get("valid")
         B = batch["seq"].shape[0]
         rng = jax.random.fold_in(base_key, state.step)
         drop_rng, rank_rng = jax.random.split(rng)
@@ -431,7 +444,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                     "emb_rep": inter["rep_rows_fwd"][0],
                 }
             fwd_rows = jax.lax.stop_gradient(fwd_rows)
-            return total_loss(z, aux, y, rank_rng), (sel_ids, fwd_rows)
+            return total_loss(z, aux, y, rank_rng, valid=valid), (sel_ids, fwd_rows)
 
         (loss, (sel_ids, fwd_rows)), (g_rest, g_perts) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -621,7 +634,11 @@ def train_one_fold(
         )
     else:
         tr_loader = BatchIterator(
-            cache, idx_tr, batch_size=t.batch_size, train=True, shuffle=True, seed=cfg.seed
+            cache, idx_tr, batch_size=t.batch_size, train=True, shuffle=True,
+            seed=cfg.seed,
+            # reference behaviour: the final partial batch is trained on
+            # (padded + valid-masked through the static-shape step)
+            drop_last=bool(t.drop_partial_batch),
         )
     va_loader = BatchIterator(
         cache, idx_va, batch_size=t.batch_size, train=True, shuffle=False, drop_last=False
@@ -713,7 +730,6 @@ def train_one_fold(
             next(batch_it)  # fast-forward the (pure) sampler stream
         step_in_epoch = skip
         for batch in DevicePrefetcher(batch_it, device_put=bshard):
-            batch.pop("valid", None)
             state, loss = train_step(state, batch)
             losses.append(loss)
             step_in_epoch += 1
