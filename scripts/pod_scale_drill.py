@@ -46,7 +46,19 @@ def main():
     ap.add_argument("--rows", type=int, default=20_000)
     ap.add_argument("--out", default="/tmp/pod_drill")
     ap.add_argument("--keep", action="store_true")
+    # On the virtual-CPU mesh every data-axis replica is a REAL host-RAM
+    # copy of the table (real pods replicate across distinct HBMs), so
+    # the full-size drill runs model=8/data=1: one copy of the 25.6 GB
+    # table, sharded 8 ways.  Smaller vocabs default to the 4x2 mesh.
+    ap.add_argument("--mesh-data", type=int, default=None)
+    ap.add_argument("--mesh-model", type=int, default=None)
+    ap.add_argument("--rss-budget-gb", type=float, default=None,
+                    help="assert peak host RSS stays below this")
     args = ap.parse_args()
+    if args.mesh_model is None:
+        args.mesh_model = 8 if args.vocab >= 50_000_000 else 2
+    if args.mesh_data is None:
+        args.mesh_data = 8 // args.mesh_model
 
     import jax
 
@@ -97,7 +109,7 @@ def main():
             "ema": {"enabled": False},
             "calibration": {"enabled": False},
             "cv": {"n_splits": 1, "group_key": "inventory_id"},
-            "mesh": {"data": 4, "model": 2},
+            "mesh": {"data": args.mesh_data, "model": args.mesh_model},
             "eval": {"device_metrics": False},
             "logging": {"log_dir": os.path.join(root, "runs"), "tb": False},
         }
@@ -137,6 +149,13 @@ def main():
     log["submission_rows"] = n_lines - 1
     assert n_lines == 2_001, n_lines
 
+    log["mesh"] = {"data": args.mesh_data, "model": args.mesh_model}
+    if args.rss_budget_gb:
+        log["rss_budget_gb"] = args.rss_budget_gb
+        assert log["rss_gb_peak"] <= args.rss_budget_gb, (
+            f"peak RSS {log['rss_gb_peak']} GB exceeds the "
+            f"{args.rss_budget_gb} GB budget"
+        )
     print(json.dumps(log, indent=2))
     out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "docs", "POD_DRILL.json")

@@ -241,6 +241,9 @@ class CTRModel(nn.Module):
     lookup_fn: Optional[Any] = None
     # explicit sharded-lookup hook for row-sharded grouped cat tables
     cat_lookup_fn: Optional[Any] = None
+    # initializer override for the two DARE tables (ops/table_init.py:
+    # shard_map chunked draw when row-sharded — bounded init temps)
+    table_init_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
@@ -332,6 +335,7 @@ class CTRModel(nn.Module):
             table_dtype=table_dtype,
             dtype=self.dtype,
             lookup_fn=self.lookup_fn,
+            table_init_fn=self.table_init_fn,
             name="dare",
         )(seq, query, deterministic=deterministic)
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 import jax
 
+from ..ops.table_init import chunked_normal_init
 from ..ops.topk_select import dare_select_ids, log_decay_at
 from .layers import DAREEncoderLayer
 
@@ -72,6 +73,11 @@ class DARE(nn.Module):
     # reads, e.g. the explicit row-sharded exchange over the 'model'
     # mesh axis (parallel/embedding.sharded_embedding_lookup)
     lookup_fn: Optional[Any] = None
+    # initializer override for the big tables: build_model passes the
+    # shard_map form when the tables are row-sharded so per-device init
+    # temps stay O(one chunk) (ops/table_init.py — same values as the
+    # default chunked grid on any mesh)
+    table_init_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, seq_ids, query_vec, deterministic: bool = True):
@@ -80,6 +86,11 @@ class DARE(nn.Module):
         query = query_vec.astype(self.dtype)
         take = self.lookup_fn if self.lookup_fn is not None else (
             lambda t, i: jnp.take(t, i, axis=0)
+        )
+        # chunked N(0, std) draws: bounded per-device init temps at pod
+        # vocabularies, mesh-layout independent (ops/table_init.py)
+        tbl_init = self.table_init_fn or chunked_normal_init(
+            self.emb_init_std, self.table_dtype
         )
         if self.fused_tables:
             # att/rep lane-fused into one (V, 2D) table: a row is exactly
@@ -90,7 +101,7 @@ class DARE(nn.Module):
             # fused; scripts/tpu_layout_probe.py)
             emb_tables = self.param(
                 "emb_tables",
-                nn.initializers.normal(self.emb_init_std, self.table_dtype),
+                tbl_init,
                 (self.seq_vocab, 2 * D),
                 self.table_dtype,
             )
@@ -99,16 +110,10 @@ class DARE(nn.Module):
             sel_table = emb_tables
         else:
             emb_att = self.param(
-                "emb_att",
-                nn.initializers.normal(self.emb_init_std, self.table_dtype),
-                (self.seq_vocab, D),
-                self.table_dtype,
+                "emb_att", tbl_init, (self.seq_vocab, D), self.table_dtype,
             )
             emb_rep = self.param(
-                "emb_rep",
-                nn.initializers.normal(self.emb_init_std, self.table_dtype),
-                (self.seq_vocab, D),
-                self.table_dtype,
+                "emb_rep", tbl_init, (self.seq_vocab, D), self.table_dtype,
             )
             att_lookup = take
             sel_table = emb_att

@@ -60,6 +60,7 @@ HASH_BUCKETS = {
 
 def model_hparams(args) -> Dict:
     """The shared hyperparameter block, rendered into both config formats."""
+    big = args.emb_dim >= 32  # flagship-direction QNN head scaling
     return {
         "emb_dim": args.emb_dim,
         "seq": {
@@ -67,14 +68,20 @@ def model_hparams(args) -> Dict:
             "query_mode": "concat", "query_key": "inventory_id", "pad_id": 0,
             "transformer_block": True,
             "tfm": {
-                "n_layers": 2, "n_heads": 4, "ffn_hidden": 4 * args.emb_dim,
+                "n_layers": args.layers, "n_heads": args.heads,
+                "ffn_hidden": 4 * args.emb_dim,
                 "mha_dropout": 0.1, "ffn_dropout": 0.1, "norm": "rms",
                 "gating": "softmax", "add_positional_bias": True,
             },
         },
         "qnn": {
-            "enabled": True, "feature_embed_dim": 8, "heads": 2, "rank": 4,
-            "proj_dim": 32, "mlp_hidden": [128, 64], "dropout": 0.1,
+            "enabled": True,
+            "feature_embed_dim": 16 if big else 8,
+            "heads": 4 if big else 2,
+            "rank": 8 if big else 4,
+            "proj_dim": 64 if big else 32,
+            "mlp_hidden": [256, 128] if big else [128, 64],
+            "dropout": 0.1,
             "use_se": True, "se_reduction": 4, "use_residual": True,
             "norm": "rms", "pair_grouping": "all", "aux_head_weight": 0.1,
         },
@@ -85,6 +92,22 @@ def model_hparams(args) -> Dict:
             "weight_decay": 1e-4, "warmup_epochs": 1, "grad_clip_norm": 1.0,
             "early_stop_patience": 10_000,
         },
+    }
+
+
+def ema_block(args) -> Dict:
+    """EMA config for BOTH sides.  No param_filter: the reference's
+    filter quirk leaves filtered shadows at their INIT values and
+    ``copy_to`` writes them back at eval (src/utils/ema.py:106-157), so
+    filtering the tables there would evaluate untrained tables.  The
+    linear decay warmup (reference cfgs/v3_k120_s1.yaml ema block) keeps
+    the shadow tracking the model over short runs."""
+    if not args.ema:
+        return {"enabled": False}
+    return {
+        "enabled": True, "decay": 0.999, "eval_with_ema": True,
+        "warmup_steps": int(args.ema_warmup_steps), "warmup_type": "linear",
+        "update_after_step": 0, "update_interval": 1,
     }
 
 
@@ -188,9 +211,9 @@ def reference_cfg(args, seed: int) -> Dict:
         "train": dict(hp["train"]),
         "calibration": {"enabled": bool(args.calibration),
                         "method": "temperature", "lr": 0.05, "iters": 200},
-        "ema": ({"enabled": True, "decay": 0.999, "eval_with_ema": True}
-                if args.ema else {"enabled": False}),
-        "sampler": {},
+        "ema": ema_block(args),
+        "sampler": ({"type": "balanced", "pos_fraction": args.pos_fraction}
+                    if args.balanced_sampler else {}),
     }
 
 
@@ -219,8 +242,12 @@ def ours_cfg(args, seed: int, emb_opt: str, out_dir: str):
                 "qnn_alpha": dict(hp["qnn"]),
             },
             "train": dict(hp["train"], embedding_optimizer=emb_opt),
-            "ema": ({"enabled": True, "decay": 0.999, "eval_with_ema": True}
-                    if args.ema else {"enabled": False}),
+            "ema": ema_block(args),
+            # the reference never calls sampler.set_epoch (train.py), so
+            # its balanced batches repeat across epochs; mirror that
+            "sampler": ({"type": "balanced", "pos_fraction": args.pos_fraction,
+                         "extra": {"reseed_each_epoch": False}}
+                        if args.balanced_sampler else {}),
             "calibration": ({"enabled": True, "method": "temperature",
                              "lr": 0.05, "iters": 200}
                             if args.calibration else {"enabled": False}),
@@ -239,6 +266,52 @@ def run_reference(args, seed: int, manifest: str, idx_tr, idx_va) -> Dict:
         torch.set_num_threads(max(1, os.cpu_count() or 1))
         from src.train import train_one_fold as ref_train_one_fold
         from src.utils.seed import set_seed as ref_set_seed
+
+        if args.balanced_sampler:
+            # The reference's balanced-sampler path reads
+            # ``train_ds.arrs["y"]`` (src/train.py:104) but its
+            # ShardedDataset defines no ``arrs`` — a latent reference bug
+            # (the attribute survives from an earlier dataset class).
+            # Provide the INTENDED value — the labels of the dataset's
+            # own index — exactly what BalancedBatchSampler(y) needs for
+            # indices in [0, len(train_ds)); everything else runs
+            # verbatim.
+            from src.data import dataset as ref_dataset
+
+            if not hasattr(ref_dataset.ShardedDataset, "arrs"):
+                def _arrs(self):
+                    if getattr(self, "_parity_arrs", None) is None:
+                        y_all = np.concatenate([
+                            np.asarray(np.load(m["y"]["path"], mmap_mode="r"))
+                            for m in self.manifest["shards"]
+                        ])
+                        self._parity_arrs = {"y": y_all[self.index]}
+                    return self._parity_arrs
+
+                ref_dataset.ShardedDataset.arrs = property(_arrs)
+
+            # Second latent bug on the same path: BalancedBatchSampler
+            # yields index LISTS (a batch sampler by its own docstring)
+            # but train.py:105 passes it as ``sampler=`` with a
+            # batch_size — torch then wraps each list as a single index
+            # and __getitem__ crashes.  Reroute it to ``batch_sampler=``
+            # (the intended wiring); every other DataLoader call is
+            # passed through untouched.
+            import src.train as ref_train_mod
+            from torch.utils.data import DataLoader as _TorchDL
+
+            def _dl(dataset, *a, **kw):
+                smp = kw.get("sampler")
+                if isinstance(smp, ref_train_mod.BalancedBatchSampler):
+                    kw2 = {
+                        k: v for k, v in kw.items()
+                        if k not in ("sampler", "batch_size", "shuffle",
+                                     "drop_last")
+                    }
+                    return _TorchDL(dataset, *a, batch_sampler=smp, **kw2)
+                return _TorchDL(dataset, *a, **kw)
+
+            ref_train_mod.DataLoader = _dl
 
         cfg = reference_cfg(args, seed)
         ref_set_seed(seed, deterministic=False)
@@ -352,9 +425,11 @@ def write_report(args, results, summary, verdicts, path: str):
         "model + training quality.",
         "",
         f"Hyperparameters (both sides): emb_dim={args.emb_dim}, L={args.max_len}, "
-        f"K={args.top_k}, 2 transformer layers, QNN-alpha head, B={args.batch}, "
+        f"K={args.top_k}, {args.layers} transformer layers ({args.heads} heads), "
+        f"QNN-alpha head, B={args.batch}, "
         f"{args.epochs} epochs, lr={args.lr}, fp32, "
-        f"EMA={'on' if args.ema else 'off'}, "
+        f"EMA={'on (warmup ' + str(args.ema_warmup_steps) + ')' if args.ema else 'off'}, "
+        f"balanced_sampler={'on (pos_fraction ' + str(args.pos_fraction) + ')' if args.balanced_sampler else 'off'}, "
         f"calibration={'temperature' if args.calibration else 'off'}, "
         "seq_vocab=10M (the reference hard-codes it, src/train.py:116). "
         "The reference ran verbatim from /root/reference via its own "
@@ -413,6 +488,17 @@ def main():
     ap.add_argument("--emb-dim", type=int, default=16)
     ap.add_argument("--max-len", type=int, default=64)
     ap.add_argument("--top-k", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--ema-warmup-steps", type=int, default=0,
+                    help="linear decay warmup on BOTH sides (reference "
+                         "cfgs/v3 ema block); ~1 epoch of steps keeps a "
+                         "short run's shadow from staying near init")
+    ap.add_argument("--balanced-sampler", action="store_true",
+                    help="BalancedBatchSampler on BOTH sides (reference "
+                         "train.py:95-110; set_epoch never called there, "
+                         "so ours runs reseed_each_epoch=false)")
+    ap.add_argument("--pos-fraction", type=float, default=0.5)
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--ours-modes", default="adamw,rowwise_adagrad")
     ap.add_argument("--ema", action="store_true",

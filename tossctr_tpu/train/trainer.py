@@ -172,6 +172,22 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
             from ..parallel.embedding import sharded_embedding_lookup
 
             lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
+    table_init_fn = None
+    if (
+        mesh is not None
+        and mesh.shape.get("model", 1) > 1
+        and cfg.mesh.embedding_sharding == "row"
+        and int(cfg.model.seq_vocab) % mesh.shape["model"] == 0
+    ):
+        from ..ops.table_init import sharded_chunked_normal_init
+
+        # per-shard chunked draw: init temps stay O(one chunk) per
+        # device at pod vocabularies; values identical to the 1-device
+        # chunked grid (ops/table_init.py header, pod drill evidence).
+        # std/dtype mirror DARE's defaults (emb_init_std=1.0, torch
+        # nn.Embedding N(0,1); dtype = model.table_dtype).
+        tdt = jnp.bfloat16 if str(cfg.model.table_dtype) == "bfloat16" else jnp.float32
+        table_init_fn = sharded_chunked_normal_init(1.0, tdt, mesh)
     cat_lookup_fn = None
     if (
         mesh is not None
@@ -201,6 +217,7 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
         lookup_fn=lookup_fn,
         cat_lookup_fn=cat_lookup_fn,
+        table_init_fn=table_init_fn,
     )
 
 
