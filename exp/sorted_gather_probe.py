@@ -31,12 +31,14 @@ def main():
     N = B * L
     ITERS = 8
     rng = np.random.default_rng(0)
+    print("staging table...", flush=True)
     t = jnp.asarray(np.abs(rng.normal(0, 1, (V, 128))).astype(np.float32),
                     jnp.bfloat16)
     ids_np = rng.integers(1, V - 2 * ITERS - 2, N).astype(np.int32)
     ids = jnp.asarray(ids_np)
     ids_sorted = jnp.asarray(np.sort(ids_np))
     jax.block_until_ready((t, ids, ids_sorted))
+    print("staged", flush=True)
 
     def dep_of(rows):
         # >= 0 at runtime (table is abs()), opaque to the compiler
@@ -67,6 +69,7 @@ def main():
         return ids + 1 + dep + jnp.minimum(p[0], 0) * 0
 
     def bench(name, step, state, iters=ITERS):
+        print(f"compiling {name}...", flush=True)
         st = step(state)
         int(st[0])  # value fetch: block_until_ready lies on the tunnel backend
         t0 = time.perf_counter()

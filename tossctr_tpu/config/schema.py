@@ -315,6 +315,18 @@ class MeshConfig:
     #          gather, all_to_all rows back; the scalable form for
     #          large meshes)
     exchange: str = "psum"
+    # Sparse-update gradient return for row-sharded tables:
+    #   allgather — every model shard all-gathers (ids, grads) over the
+    #               data axis: exact, O(global B*K*D) ICI bytes/device
+    #   a2a      — bucketed return (local exact dedup -> all_to_all to
+    #              owning shards -> all_gather of the filtered buckets):
+    #              ~1/model_axis the bytes; bucket caps are static
+    #              (mesh.extra.a2a_grad_cap_factor, default 2.0) so
+    #              adversarial id sets can overflow-drop — see
+    #              parallel/embedding.sharded_rowwise_adagrad_update_a2a
+    #   None     — follow ``exchange`` (a2a lookups imply the scalable
+    #              grad return)
+    grad_exchange: Optional[str] = None
     # Grouped categorical tables: "replicate" (default — they are small,
     # reference bucket sizes are primes, and their grads ride the dense
     # psum) or "row" (row-shard + explicit exchange; requires every
@@ -424,6 +436,8 @@ class Config:
             raise ValueError("sequence.top_k and sequence.max_len must be positive")
         if self.mesh.exchange not in ("psum", "a2a"):
             raise ValueError("mesh.exchange must be psum|a2a")
+        if self.mesh.grad_exchange not in (None, "allgather", "a2a"):
+            raise ValueError("mesh.grad_exchange must be allgather|a2a")
         if self.mesh.cat_sharding not in ("replicate", "row"):
             raise ValueError("mesh.cat_sharding must be replicate|row")
         if self.model.attn_impl not in ("packed", "wide", "loop"):

@@ -160,6 +160,23 @@ def _hw_keep(shape, p: float, seed, tag, row0, chunk: int = _HW_CHUNK):
     return keep / (1.0 - p)
 
 
+def _score_dtype():
+    """Storage dtype for attention probabilities / keep-masks inside the
+    packed kernels (softmax itself stays fp32).  bf16 halves the largest
+    VMEM tensors, admitting bigger batch blocks (round-4 escape,
+    docs/DESIGN.md).  TOSSCTR_ATTN_SCORE_DTYPE=bfloat16 opts in; the
+    default stays fp32 (the oracle-exact mode the tests pin)."""
+    return (
+        jnp.bfloat16
+        if os.environ.get("TOSSCTR_ATTN_SCORE_DTYPE", "float32") == "bfloat16"
+        else jnp.float32
+    )
+
+
+def _score_bytes() -> int:
+    return 2 if _score_dtype() == jnp.bfloat16 else 4
+
+
 def _resolve_dropout_impl(dropout_impl: str, interpret: bool) -> str:
     """interpret mode (CPU tests / non-TPU backends) lacks the Mosaic
     PRNG primitives: fall back to the hash there.  fwd and bwd resolve
@@ -368,14 +385,15 @@ def _packed_group_scores(q, k, bias_t, g0, G, dh, dropout_p, seed, row0,
     s = s + bias_t  # bias_t already carries the padded-key-column mask
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    sdt = _score_dtype()
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(sdt)
     if dropout_p > 0.0:
         if dropout_impl == "hw":
-            keep = _hw_keep(p.shape, dropout_p, seed, g0, row0)
+            keep = _hw_keep(p.shape, dropout_p, seed, g0, row0).astype(sdt)
         else:
             keep = _dropout_keep_packed(
                 p.shape, dropout_p, seed, Kp, row0, g0 * jnp.int32(1)
-            )
+            ).astype(sdt)
         return p, p * keep, keep
     return p, p, None
 
@@ -871,7 +889,10 @@ def _adaptive_block_packed(block_b: int, B: int, Kp: int, G: int) -> int:
     """Packed-group working set scales with G*Kp^2 fp32 per batch row;
     size the block so one (bb, G*Kp, Kp) score tensor stays within
     the budget (several are live at once)."""
-    cap = max(8, (_score_budget_bytes() // max(1, G * Kp * Kp * 4)) // 8 * 8)
+    cap = max(
+        8,
+        (_score_budget_bytes() // max(1, G * Kp * Kp * _score_bytes())) // 8 * 8,
+    )
     return max(1, min(block_b, B, cap))
 
 

@@ -207,6 +207,157 @@ def sharded_rowwise_adagrad_update(
     return fn(table, accum, ids, row_grads, lr_arr)
 
 
+def sharded_rowwise_adagrad_update_a2a(
+    table: jnp.ndarray,
+    accum: jnp.ndarray,
+    ids: jnp.ndarray,
+    row_grads: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    lr,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    pad_row: int = 0,
+    halves: int = 1,
+    cap_factor: float = 2.0,
+):
+    """Bucketed gradient return (VERDICT r3 #6): row grads travel only
+    to their owning shards instead of all-gathering O(global B*K*D)
+    bytes to every device (``sharded_rowwise_adagrad_update``).
+
+    Per device, with n = B*K/(d*m) local items and W = row width:
+      1. local exact dedup (sort + segment-sum, train/sparse_embed) —
+         partial fp32 sums per unique id; zipf duplicates collapse here,
+         and unique HASHED ids spread ~uniformly over owner shards,
+      2. run-length bucket by owner (dedup output is ascending, so
+         owner is non-decreasing — no second sort), bucket cap =
+         ceil(cap_factor * n / m),
+      3. ``all_to_all`` over 'model': buckets reach their owners
+         (~cap_factor * n * 4W bytes sent),
+      4. ``all_gather`` over 'data' of the ALREADY-FILTERED buckets
+         (~cap_factor * B*K*4W / m bytes — the 1/m win vs the plain
+         all-gather's B*K*cotangent_bytes*W),
+      5. the owner merges partial sums (exact dedup again) and applies
+         the rowwise-AdaGrad step — g^2 is computed on the MERGED sum,
+         so results match the exact_dedup all-gather path up to fp32
+         summation order.
+
+    Static-shape caveat (documented deviation): a bucket holds at most
+    ``cap`` unique ids; overflow is dropped.  After dedup the owner of
+    a unique id is a hash-uniform draw, so P(overflow) at cap_factor=2
+    is negligible for n/m >= ~64 (binomial tail); adversarial id sets
+    can still overflow — raise ``mesh.extra.a2a_grad_cap_factor`` or
+    use the all-gather form where exactness under adversarial ids
+    matters more than bytes.
+
+    -> (new_table P('model', None), new_accum)
+    """
+    from ..train.sparse_embed import (
+        RowwiseAdagradState, dedup_rows, rowwise_adagrad_update,
+    )
+
+    d = mesh.shape[DATA_AXIS]
+    m = mesh.shape[MODEL_AXIS]
+    if m == 1:
+        new_t, st = rowwise_adagrad_update(
+            table, RowwiseAdagradState(accum), ids.reshape(-1), row_grads,
+            lr=lr, eps=eps, weight_decay=weight_decay, pad_row=pad_row,
+            exact_dedup=True, halves=halves,
+        )
+        return new_t, st.accum
+    V, W = table.shape
+
+    def body(local_table, local_accum, ids_l, g_l, lr_l):
+        rows = local_table.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        flat = ids_l.reshape(-1)
+        n = flat.shape[0]
+        g = g_l.reshape(n, W)
+        # pad-row occurrences carry zero grads (masked in the forward);
+        # retire their ids to the drop sentinel so they neither consume
+        # bucket slots nor receive decay (torch padding_idx semantics)
+        is_pad = flat == pad_row
+        g = g * (~is_pad)[:, None].astype(g.dtype)
+        flat = jnp.where(is_pad, V, flat)
+
+        # 1. local exact dedup: ascending unique ids with fp32 partial
+        #    sums; padding slots carry ids >= V
+        uids, gu = dedup_rows(flat, g, drop_index=V)
+        valid = uids < V
+        owner = jnp.minimum(uids // rows, m - 1)
+
+        # 2. run-length bucketing (owner is non-decreasing)
+        cap = -(-max(1, int(cap_factor * n)) // m)
+        cap = max(8, -(-cap // 8) * 8)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        run_start = jnp.searchsorted(
+            owner, jnp.arange(m, dtype=owner.dtype), side="left"
+        ).astype(jnp.int32)
+        pos = idx - run_start[owner]
+        keep = valid & (pos < cap)
+        # dropped items get DISTINCT out-of-range slots so the scatter's
+        # unique_indices promise holds literally (mode='drop' discards
+        # them)
+        slot = jnp.where(keep, owner * cap + pos, m * cap + idx)
+        send_ids = jnp.full((m * cap,), V, jnp.int32)
+        send_ids = send_ids.at[slot].set(
+            uids.astype(jnp.int32), mode="drop", unique_indices=True
+        )
+        send_g = jnp.zeros((m * cap, W), jnp.float32)
+        send_g = send_g.at[slot].set(gu, mode="drop", unique_indices=True)
+
+        # 3. buckets to their owners over the model axis
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(m, cap), MODEL_AXIS, 0, 0, tiled=True
+        ).reshape(m * cap)
+        recv_g = jax.lax.all_to_all(
+            send_g.reshape(m, cap, W), MODEL_AXIS, 0, 0, tiled=True
+        ).reshape(m * cap, W)
+
+        # 4. gather the filtered buckets across data replicas — every
+        #    data replica of this shard must apply the identical update
+        ids_all = jax.lax.all_gather(
+            recv_ids, DATA_AXIS, axis=0, tiled=True
+        )
+        g_all = jax.lax.all_gather(recv_g, DATA_AXIS, axis=0, tiled=True)
+
+        # 5. local coords; foreign/padded ids -> dropped by the scatter
+        li = ids_all - shard * rows
+        own = (li >= 0) & (li < rows)
+        li = jnp.where(own, li, rows).astype(jnp.int32)
+        g_all = g_all * own[:, None]
+        new_t, st = rowwise_adagrad_update(
+            local_table, RowwiseAdagradState(local_accum), li, g_all,
+            lr=lr_l[0], eps=eps, weight_decay=weight_decay,
+            pad_row=pad_row - shard * rows,
+            exact_dedup=True, halves=halves,
+        )
+        return new_t, st.accum
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS) if halves == 1 else P(MODEL_AXIS, None),
+            # batch partitioned over BOTH axes, matching the a2a lookup
+            P((DATA_AXIS, MODEL_AXIS), None),
+            P((DATA_AXIS, MODEL_AXIS), None, None),
+            P(),
+        ),
+        out_specs=(
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS) if halves == 1 else P(MODEL_AXIS, None),
+        ),
+        # outputs are data-replicated (identical all_gathered update on
+        # every replica) — unprovable for the static checker
+        check_vma=False,
+    )
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+    _ = d
+    return fn(table, accum, ids, row_grads, lr_arr)
+
+
 def sharded_embedding_lookup_a2a(
     table: jnp.ndarray,
     ids: jnp.ndarray,

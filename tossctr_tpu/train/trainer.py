@@ -517,13 +517,30 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                 else None
             )
             if explicit:
-                from ..parallel.embedding import sharded_rowwise_adagrad_update
+                gx = cfg.mesh.grad_exchange or cfg.mesh.exchange
+                if gx == "a2a":
+                    from ..parallel.embedding import (
+                        sharded_rowwise_adagrad_update_a2a,
+                    )
 
-                new_tables[name], acc = sharded_rowwise_adagrad_update(
-                    tables[name], table_opt[name].accum, sel_ids, g_rows,
-                    mesh, lr=lr_t, weight_decay=wd, pad_row=pad_id,
-                    exact_dedup=exact_dedup, halves=halves,
-                )
+                    new_tables[name], acc = sharded_rowwise_adagrad_update_a2a(
+                        tables[name], table_opt[name].accum, sel_ids, g_rows,
+                        mesh, lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                        halves=halves,
+                        cap_factor=float(
+                            cfg.mesh.extra.get("a2a_grad_cap_factor", 2.0)
+                        ),
+                    )
+                else:
+                    from ..parallel.embedding import (
+                        sharded_rowwise_adagrad_update,
+                    )
+
+                    new_tables[name], acc = sharded_rowwise_adagrad_update(
+                        tables[name], table_opt[name].accum, sel_ids, g_rows,
+                        mesh, lr=lr_t, weight_decay=wd, pad_row=pad_id,
+                        exact_dedup=exact_dedup, halves=halves,
+                    )
                 table_opt[name] = RowwiseAdagradState(accum=acc)
             elif emb_opt == "rowwise_adagrad":
                 new_tables[name], table_opt[name] = rowwise_adagrad_update(
