@@ -61,7 +61,27 @@ def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
         n_local = (B // (data_axis * m)) * lookups
         # send ids (m*n ints) + receive rows (m*n*D) + reverse leg
         bytes_dev = int(m * n_local * (4 + D * tb) * 2)
-    return {"exchange": exchange, "ici_bytes_per_device": bytes_dev}
+    # ---- sparse-update gradient return (mesh.grad_exchange) ----
+    # row width W = 2D for the lane-fused table; fp32 after local dedup
+    W = 2 * D
+    item = 4 + W * 4
+    # allgather: every device receives the GLOBAL per-occurrence
+    # (ids, grads) stream — grads still in the bf16 cotangent dtype
+    grad_allgather = int(B * K * (4 + W * 2))
+    # a2a (cap_factor c=2): all_to_all sends ~c*n_local_upd items, the
+    # data-axis all_gather of the filtered buckets receives c*B*K/m
+    c = 2.0
+    n_upd = B * K // (data_axis * m)
+    grad_a2a = int(c * n_upd * item * m / m + c * B * K / m * item)
+    return {
+        "exchange": exchange,
+        "ici_bytes_per_device": bytes_dev,
+        "grad_return_bytes_per_device": {
+            "allgather": grad_allgather,
+            "a2a": grad_a2a,
+            "a2a_win_x": round(grad_allgather / max(1, grad_a2a), 2),
+        },
+    }
 
 
 def roofline_bytes(cfg, n_num: int) -> dict:

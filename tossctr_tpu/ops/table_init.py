@@ -34,7 +34,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 # Chunked generation kicks in above this many rows; below it the plain
-# one-shot draw is cheaper to compile and its temps are small.
+# one-shot draw is cheaper to compile and its temps are small.  The
+# SAME threshold governs the plain and sharded forms — the value grid
+# is a function of (key, V) only, so any mesh (including 1 device)
+# initializes bit-identically.  The chunked fori program costs a one-
+# time cold compile (~2 min for the 128-chunk 10M-row grid on a busy
+# host); the persistent compile cache (utils/compile_cache.py)
+# amortizes it across runs.
 _CHUNK_THRESHOLD_ROWS = 1_048_576
 
 
@@ -79,6 +85,11 @@ def chunked_normal_init(stddev: float, dtype):
             )
         rows, width = shape
         n = table_chunk_grid(rows)
+        # NB: the fori form's cold compile is slow on the tunnel
+        # backend (~70-140 s at 32-128 trips for a (10M, 128) table; a
+        # vmapped batched draw OOMs the chip instead) — a one-time cost
+        # the persistent compile cache (utils/compile_cache.py)
+        # amortizes; warm init is ~14 s at flagship shapes.
         return _chunked_draw(key, rows, width, dtype, stddev, n)
 
     return init
