@@ -138,9 +138,14 @@ class MultiHeadSelfAttention(nn.Module):
 
             wqkv, bqkv = DenseParams(D, 3 * D, name="qkv")()
             p, seed = dropout_seed(self, self.dropout, deterministic)
+            # block_b=512 is an upper REQUEST: _adaptive_block_packed
+            # sizes the real block from the VMEM score budget (128 fwd /
+            # 64 bwd at flagship shapes — the measured optimum of the
+            # budget x divisor sweep, exp/attn_budget_probe.py); the old
+            # hard 64 capped the backward at 32 rows/block
             o = fused_mha_qkv(
                 x, wqkv.astype(self.dtype), bqkv, bias2d(), seed, H, p,
-                64, False, self.attn_impl, self.dropout_impl,
+                512, False, self.attn_impl, self.dropout_impl,
             )
             if self.raw_out:
                 wout, bout = DenseParams(D, D, name="out")()
