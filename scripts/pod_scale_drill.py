@@ -27,6 +27,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 8 virtual devices timeshare this host's few cores; XLA:CPU's default
+# 20 s / 40 s collective-rendezvous timeouts fire spuriously when a
+# device thread is starved mid-epoch at the 25.6 GB table size (the
+# thread arrives, just late).  Must be set before the first jax import.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_timeout_seconds=3600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    ).strip()
+
 
 def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6

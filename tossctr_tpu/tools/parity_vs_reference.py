@@ -470,8 +470,10 @@ def write_report(args, results, summary, verdicts, path: str):
         "- Remaining seed-level nondeterminism differs by design: torch and",
         "  JAX draw init/dropout/shuffle randomness from different generators,",
         "  which is exactly what the seed band measures.",
-        "- Our loader drops the final partial train batch per epoch",
-        "  (78 vs 79 steps at these shapes); the reference keeps it.",
+        "- Both sides train on the final partial batch per epoch (our",
+        "  static-shape step pads + valid-masks it; train.drop_partial_batch",
+        "  restores the old drop behaviour), so steps/epoch match the",
+        "  reference exactly.",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
