@@ -25,6 +25,8 @@ def rss():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vocab", type=int, default=2_000_000)
+    ap.add_argument("--mesh-data", type=int, default=4)
+    ap.add_argument("--mesh-model", type=int, default=2)
     ap.add_argument("--out", default="/tmp/pod_rss_probe")
     args = ap.parse_args()
 
@@ -64,7 +66,7 @@ def main():
                       "embedding_optimizer": "rowwise_adagrad"},
             "ema": {"enabled": False},
             "cv": {"n_splits": 1, "group_key": "inventory_id"},
-            "mesh": {"data": 4, "model": 2},
+            "mesh": {"data": args.mesh_data, "model": args.mesh_model},
         }
     )
     mesh = build_mesh_from_cfg(cfg)

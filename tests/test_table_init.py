@@ -78,9 +78,16 @@ def test_pod_init_rss_bound(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-4000:]
     marks = json.loads("{" + out.stdout.split("{", 1)[1])
-    # measured: init 2.97 GB, first step 6.95 GB; budgets ~1.5x
-    assert marks["state_init"] < 4.5, marks
-    assert marks["first_step"] < 10.0, marks
+    # Assert GROWTH over the post-build baseline: the absolute
+    # high-water is environment-sensitive (under heavy host load the
+    # child's baseline itself was measured at 11+ GB before any table
+    # work), but the table phases' growth is what the chunked init
+    # bounds.  Clean-machine measurement: build 0.3 -> init 2.97 ->
+    # first step 6.95 GB (budgets ~1.5x the deltas).
+    base = marks["build"]
+    assert marks["state_init"] - base < 4.2, marks
+    assert marks["first_step"] - base < 10.0, marks
+    assert marks["first_step"] < 25.0, marks  # lenient absolute roof
 
 
 if __name__ == "__main__":
