@@ -68,11 +68,13 @@ def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
     # allgather: every device receives the GLOBAL per-occurrence
     # (ids, grads) stream — grads still in the bf16 cotangent dtype
     grad_allgather = int(B * K * (4 + W * 2))
-    # a2a (cap_factor c=2): all_to_all sends ~c*n_local_upd items, the
-    # data-axis all_gather of the filtered buckets receives c*B*K/m
+    # a2a (cap_factor c=2): the all_to_all moves c*n_local_upd items
+    # per device, the data-axis all_gather of the filtered buckets
+    # receives c*B*K/m items — fp32 deduped payloads, so the win over
+    # the bf16 all-gather is ~m/4 (break-even near model=4)
     c = 2.0
     n_upd = B * K // (data_axis * m)
-    grad_a2a = int(c * n_upd * item * m / m + c * B * K / m * item)
+    grad_a2a = int(c * n_upd * item + c * B * K / m * item)
     return {
         "exchange": exchange,
         "ici_bytes_per_device": bytes_dev,

@@ -86,6 +86,9 @@ def main():
 
     t0 = time.time()
     root = args.out
+    # the drill must exercise the FULL lifecycle: a leftover fold
+    # checkpoint from an aborted run would fold-skip the train phase
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     write_synth_train_test(root, n_train=args.rows, n_test=2_000, seed=7)
     cfg = Config.from_dict(

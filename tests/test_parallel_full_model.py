@@ -45,7 +45,7 @@ def _make_batches(cfg, n_num, n_steps):
 
 
 def _run(n_devices, model_axis, sparse, batches, exchange="psum",
-         cat_sharding="replicate"):
+         cat_sharding="replicate", grad_exchange=None):
     from __graft_entry__ import _flagship_cfg
     from tossctr_tpu.parallel.mesh import build_mesh
     from tossctr_tpu.parallel.sharding import batch_sharding
@@ -61,6 +61,8 @@ def _run(n_devices, model_axis, sparse, batches, exchange="psum",
         cfg.train.embedding_optimizer = "rowwise_adagrad"
     cfg.mesh.exchange = exchange
     cfg.mesh.cat_sharding = cat_sharding
+    if grad_exchange:
+        cfg.mesh.grad_exchange = grad_exchange
     devices = jax.devices()[:n_devices]
     mesh = build_mesh(data=n_devices // model_axis, model=model_axis, devices=devices)
     dims = {
@@ -119,7 +121,11 @@ def test_full_model_a2a_exchange_parity(sparse, model_axis):
     batches = _make_batches(cfg, n_num, 3)
 
     losses_1, params_1 = _run(1, 1, sparse, batches)
-    losses_8, params_8 = _run(8, model_axis, sparse, batches, exchange="a2a")
+    # grad_exchange="a2a": the bucketed gradient return (an explicit
+    # opt-in) must hold the same 1-device trajectory parity as the
+    # default all-gather form
+    losses_8, params_8 = _run(8, model_axis, sparse, batches, exchange="a2a",
+                              grad_exchange="a2a" if sparse else None)
 
     assert np.allclose(losses_1, losses_8, atol=5e-4), (losses_1, losses_8)
     for a, b in zip(

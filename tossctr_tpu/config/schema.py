@@ -316,17 +316,21 @@ class MeshConfig:
     #          large meshes)
     exchange: str = "psum"
     # Sparse-update gradient return for row-sharded tables:
-    #   allgather — every model shard all-gathers (ids, grads) over the
-    #               data axis: exact, O(global B*K*D) ICI bytes/device
+    #   allgather (default) — every model shard all-gathers (ids,
+    #              grads) over the data axis: exact under ANY id
+    #              distribution, O(global B*K*D) ICI bytes/device
     #   a2a      — bucketed return (local exact dedup -> all_to_all to
     #              owning shards -> all_gather of the filtered buckets):
-    #              ~1/model_axis the bytes; bucket caps are static
-    #              (mesh.extra.a2a_grad_cap_factor, default 2.0) so
-    #              adversarial id sets can overflow-drop — see
+    #              ~4/model_axis of the all-gather bytes (fp32 deduped
+    #              payloads vs bf16 cotangents — wins past model~4,
+    #              loses at model=2; bench_scaling.py analytic table).
+    #              Bucket caps are static (mesh.extra.
+    #              a2a_grad_cap_factor, default 2.0) and presume
+    #              HASH-UNIFORM unique-id owners: a frequency-sorted or
+    #              clustered vocab can overflow a bucket and silently
+    #              drop gradients — an explicit opt-in; see
     #              parallel/embedding.sharded_rowwise_adagrad_update_a2a
-    #   None     — follow ``exchange`` (a2a lookups imply the scalable
-    #              grad return)
-    grad_exchange: Optional[str] = None
+    grad_exchange: Optional[str] = None  # None = allgather
     # Grouped categorical tables: "replicate" (default — they are small,
     # reference bucket sizes are primes, and their grads ride the dense
     # psum) or "row" (row-shard + explicit exchange; requires every

@@ -184,10 +184,12 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         # per-shard chunked draw: init temps stay O(one chunk) per
         # device at pod vocabularies; values identical to the 1-device
         # chunked grid (ops/table_init.py header, pod drill evidence).
-        # std/dtype mirror DARE's defaults (emb_init_std=1.0, torch
-        # nn.Embedding N(0,1); dtype = model.table_dtype).
+        # std/dtype read from the SAME sources DARE's in-module
+        # fallback uses, so sharded and 1-device inits can never
+        # diverge if those defaults move.
+        std = float(CTRModel.__dataclass_fields__["emb_init_std"].default)
         tdt = jnp.bfloat16 if str(cfg.model.table_dtype) == "bfloat16" else jnp.float32
-        table_init_fn = sharded_chunked_normal_init(1.0, tdt, mesh)
+        table_init_fn = sharded_chunked_normal_init(std, tdt, mesh)
     cat_lookup_fn = None
     if (
         mesh is not None
@@ -517,7 +519,11 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                 else None
             )
             if explicit:
-                gx = cfg.mesh.grad_exchange or cfg.mesh.exchange
+                # exact all-gather return unless the user explicitly
+                # opts into the capped bucketed form (its hash-uniform
+                # owner assumption and overflow-drop semantics are not
+                # implied by choosing the a2a LOOKUP)
+                gx = cfg.mesh.grad_exchange or "allgather"
                 if gx == "a2a":
                     from ..parallel.embedding import (
                         sharded_rowwise_adagrad_update_a2a,
@@ -637,6 +643,19 @@ def train_one_fold(
             f"train.batch_size={t.batch_size} not divisible by mesh data "
             f"axis {n_data} (cfg.mesh={{data: {cfg.mesh.data}, model: "
             f"{cfg.mesh.model}}} over {mesh.size} devices)"
+        )
+    # the a2a lookup and the a2a grad return jointly partition the
+    # batch over BOTH axes: demand divisibility at config time rather
+    # than deep inside a shard_map trace error
+    if (
+        (cfg.mesh.exchange == "a2a" or cfg.mesh.grad_exchange == "a2a")
+        and mesh.shape.get("model", 1) > 1
+        and t.batch_size % mesh.size
+    ):
+        raise ValueError(
+            f"mesh.exchange/grad_exchange 'a2a' partitions the batch over "
+            f"data*model = {mesh.size} devices; train.batch_size="
+            f"{t.batch_size} is not divisible by it"
         )
     bshard = batch_sharding(mesh)
     # Multi-host: every process computes the SAME global batch order
