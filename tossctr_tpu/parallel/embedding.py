@@ -220,6 +220,7 @@ def sharded_rowwise_adagrad_update_a2a(
     pad_row: int = 0,
     halves: int = 1,
     cap_factor: float = 2.0,
+    debug_overflow: bool = False,
 ):
     """Bucketed gradient return (VERDICT r3 #6): row grads travel only
     to their owning shards instead of all-gathering O(global B*K*D)
@@ -295,6 +296,15 @@ def sharded_rowwise_adagrad_update_a2a(
         ).astype(jnp.int32)
         pos = idx - run_start[owner]
         keep = valid & (pos < cap)
+        if debug_overflow:
+            # per-device dropped-unique-id count per step (opt-in:
+            # mesh.extra.a2a_grad_debug) — nonzero means the
+            # hash-uniform owner assumption is violated for this id
+            # stream and cap_factor should rise (or use allgather)
+            jax.debug.print(
+                "a2a_grad_return dropped {d} unique ids (cap {c})",
+                d=jnp.sum(valid & ~keep), c=cap,
+            )
         # dropped items get DISTINCT out-of-range slots so the scatter's
         # unique_indices promise holds literally (mode='drop' discards
         # them)

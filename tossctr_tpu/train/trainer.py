@@ -536,6 +536,9 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                         cap_factor=float(
                             cfg.mesh.extra.get("a2a_grad_cap_factor", 2.0)
                         ),
+                        debug_overflow=bool(
+                            cfg.mesh.extra.get("a2a_grad_debug", False)
+                        ),
                     )
                 else:
                     from ..parallel.embedding import (
