@@ -188,7 +188,8 @@ def main():
     import jax.numpy as jnp
 
     from tossctr_tpu.train.trainer import (
-        build_model, make_optimizer, make_train_state, make_train_step,
+        build_model, jitted_init, make_optimizer, make_train_state,
+        make_train_step,
     )
 
     cfg = build_cfg(args)
@@ -210,13 +211,7 @@ def main():
     tx, schedule = make_optimizer(cfg, steps_per_epoch=1000)
     t0 = time.time()
     init_batch = {k: v[:256] for k, v in batch.items() if k != "y"}
-    # One jitted init program instead of op-by-op eager dispatch: eager
-    # model.init pays one small backend compile per primitive shape
-    # (~228 s cold at flagship shapes on the tunnel backend); the fused
-    # program traces+compiles+runs in ~15 s cold (docs/ROUND4.md item 4).
-    variables = jax.jit(
-        lambda k, ib: model.init(k, ib, deterministic=True)
-    )(jax.random.PRNGKey(0), init_batch)
+    variables = jitted_init(model, jax.random.PRNGKey(0), init_batch)
     state, ema_mask = make_train_state(cfg, variables, tx)
     jax.block_until_ready(state.params)
     n_par = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -240,9 +235,7 @@ def main():
               "retrying with TOSSCTR_DISABLE_FUSE_BLOCK=1")
         os.environ["TOSSCTR_DISABLE_FUSE_BLOCK"] = "1"
         model = build_model(cfg, dims)
-        variables = jax.jit(
-            lambda k, ib: model.init(k, ib, deterministic=True)
-        )(jax.random.PRNGKey(0), init_batch)
+        variables = jitted_init(model, jax.random.PRNGKey(0), init_batch)
         state, ema_mask = make_train_state(cfg, variables, tx)
         train_step = make_train_step(
             model, tx, cfg, jax.random.PRNGKey(1), ema_mask=ema_mask,

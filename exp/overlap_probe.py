@@ -1,0 +1,181 @@
+"""Does the TPU overlap a latency-bound embedding gather with MXU work?
+
+VERDICT r4 weak#1 / next#1: the 180 ms step's per-op floors were summed
+serially, but a step is not obligated to run them serially — IF the chip
+(or XLA's scheduler) can co-schedule the 39.8 ms latency-bound scoring
+gather with MXU-heavy Mosaic kernels, a 2-way microbatched step could
+hide one microbatch's gathers under the other's attention/FFN.
+
+This probe answers the question directly.  Three jitted programs:
+
+  * ``gather_only``  — the scoring pass shape-for-shape: a (B*L,) row
+    gather from the (10M, 64) bf16 att table fused into the query dot
+    (ops/topk_select.py:176-178).  ~40 ms at B=8192, L=400.
+  * ``mxu_only``     — a chain of bf16 (8192, 1024)x(1024, 1024)
+    matmuls with a cheap nonlinearity between, calibrated to roughly
+    the same wall time.  Pure MXU+HBM-streaming work, no gathers.
+  * ``both``         — the SAME two computations in ONE program with
+    zero data dependence between them (separate inputs, tuple output).
+
+If wall(both) ~= max(wall(gather), wall(mxu)) the chip co-schedules and
+the microbatch pipeline is worth building; if ~= sum(...), XLA:TPU runs
+independent HLO ops serially on the core and "per-op floors sum" IS a
+step-time bound.  A fourth program interleaves the gather in L-chunks
+with the matmul chain at the HLO level to give the scheduler explicit
+interleaving opportunities, in case monolithic ops serialize trivially.
+
+Timing per the repo convention (docs/DESIGN.md): chained iterations —
+every iteration's inputs depend on the previous outputs — synced by a
+VALUE fetch, because block_until_ready can return early on the tunnel
+backend.  Run from the repo root (axon plugin registration).
+"""
+
+import time
+
+import numpy as np
+
+V = 10_000_000
+D = 64
+B = 8192
+L = 400
+MM_N = 1024          # matmul width
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+
+    # the 1.28 GB table is generated ON DEVICE — host->device transfer
+    # through the tunnel backend is far slower than an on-device RNG
+    table = jax.jit(
+        lambda k: jax.random.normal(k, (V, D), dtype=jnp.bfloat16),
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(table)
+    print("table ready", flush=True)
+    ids0 = jnp.asarray(rng.integers(0, V, size=(B, L)), dtype=jnp.int32)
+    query = jnp.asarray(
+        rng.standard_normal((B, D), dtype=np.float32), dtype=jnp.bfloat16
+    )
+    x0 = jnp.asarray(
+        rng.standard_normal((B, MM_N), dtype=np.float32), dtype=jnp.bfloat16
+    )
+    n_mm = 14  # calibrated below; overridden after the first measurements
+    ws = [
+        jnp.asarray(rng.standard_normal((MM_N, MM_N), dtype=np.float32) * 0.02,
+                    dtype=jnp.bfloat16)
+        for _ in range(n_mm)
+    ]
+
+    def gather_score(ids, tbl, q):
+        """The scoring pass: fused row-gather + dot (topk_select.py)."""
+        att = jnp.take(tbl, ids.reshape(-1), axis=0).reshape(B, L, D)
+        s = jnp.einsum("bld,bd->bl", att, q)
+        return s
+
+    def next_ids(s, ids):
+        # data-dependent, nearly-free chaining: rotate ids by a value
+        # derived from the scores so each iteration re-runs the gather
+        bump = jnp.min(s).astype(jnp.int32) & 0  # 0, but data-dependent
+        return (ids + 1 + bump) % (V - 7)
+
+    def mm_chain(x, k):
+        for w in ws[:k]:
+            x = jnp.maximum(x @ w, 0.01 * x)
+        return x
+
+    @jax.jit
+    def f_gather(ids):
+        s = gather_score(ids, table, query)
+        return next_ids(s, ids), jnp.sum(s, dtype=jnp.float32)
+
+    def make_mxu(k):
+        @jax.jit
+        def f_mxu(x):
+            y = mm_chain(x, k)
+            return y, jnp.sum(y, dtype=jnp.float32)
+        return f_mxu
+
+    def make_both(k):
+        @jax.jit
+        def f_both(ids, x):
+            s = gather_score(ids, table, query)
+            y = mm_chain(x, k)
+            return next_ids(s, ids), y, \
+                jnp.sum(s, dtype=jnp.float32) + jnp.sum(y, dtype=jnp.float32)
+        return f_both
+
+    def make_interleaved(k, n_chunks=8):
+        """Gather split into L-chunks, matmuls interspersed between
+        them at trace order — maximal scheduler opportunity."""
+        Lc = L // n_chunks
+
+        @jax.jit
+        def f_il(ids, x):
+            tot = jnp.zeros((), jnp.float32)
+            per_slot = max(1, k // n_chunks)
+            wi = 0
+            for c in range(n_chunks):
+                idc = jax.lax.dynamic_slice_in_dim(ids, c * Lc, Lc, axis=1)
+                att = jnp.take(table, idc.reshape(-1), axis=0)
+                att = att.reshape(B, Lc, D)
+                s = jnp.einsum("bld,bd->bl", att, query)
+                tot = tot + jnp.sum(s, dtype=jnp.float32)
+                for _ in range(per_slot):
+                    if wi < k:
+                        x = jnp.maximum(x @ ws[wi], 0.01 * x)
+                        wi += 1
+            while wi < k:
+                x = jnp.maximum(x @ ws[wi], 0.01 * x)
+                wi += 1
+            bump = (tot.astype(jnp.int32) & 0)
+            return (ids + 1 + bump) % (V - 7), x, tot
+        return f_il
+
+    def bench_1(name, f, a):
+        a1, v = f(a)
+        float(v)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            a1, v = f(a1)
+        float(v)
+        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"{name:28s}: {dt:8.2f} ms", flush=True)
+        return dt
+
+    def bench_2(name, f, a, b):
+        a1, b1, v = f(a, b)
+        float(v)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            a1, b1, v = f(a1, b1)
+        float(v)
+        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"{name:28s}: {dt:8.2f} ms", flush=True)
+        return dt
+
+    t_g = bench_1("gather_only", f_gather, ids0)
+
+    # calibrate the matmul chain length to ~ the gather time
+    t_mm1 = bench_1("mxu_only[k=2]", make_mxu(2), x0)
+    per_mm = max(0.05, t_mm1 / 2)
+    k = max(2, min(n_mm, int(round(t_g / per_mm))))
+    t_m = bench_1(f"mxu_only[k={k}]", make_mxu(k), x0)
+
+    t_b = bench_2(f"both[k={k}]", make_both(k), ids0, x0)
+    t_i = bench_2(f"interleaved[k={k}]", make_interleaved(k), ids0, x0)
+
+    lo, hi = max(t_g, t_m), t_g + t_m
+    overlap = (hi - t_b) / max(1e-9, hi - lo)
+    print(f"\nmax={lo:.2f}  sum={hi:.2f}  both={t_b:.2f}  "
+          f"interleaved={t_i:.2f}")
+    print(f"overlap fraction (1=perfect co-schedule, 0=serial): "
+          f"monolithic {overlap:.2f}, "
+          f"interleaved {(hi - t_i) / max(1e-9, hi - lo):.2f}")
+
+
+if __name__ == "__main__":
+    main()

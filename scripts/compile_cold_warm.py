@@ -1,0 +1,121 @@
+"""Reproducible cold/warm compile-time evidence (VERDICT r4 next#6).
+
+Clears the persistent XLA compile cache, runs ``python bench.py`` cold,
+then reruns warm TWICE (the first warm run after a layout-changing code
+edit still repopulates some entries — docs/ROUND4.md item 4), and
+writes ``COMPILE_COLD_WARM.json``:
+
+    {"cold_init_s", "cold_compile_step1_s",
+     "warm1_init_s", "warm1_compile_step1_s",
+     "warm2_init_s", "warm2_compile_step1_s", ...}
+
+Bars (VERDICT r3 #4): cold compile+step1 <= 180 s, warm <= 50 s.  The
+script asserts nothing — it records; the README/docs cite the artifact.
+
+Usage (from the repo root, on the bench backend):
+    python scripts/compile_cold_warm.py [--steps 5] [--out COMPILE_COLD_WARM.json]
+
+The cache directory (utils/compile_cache.py) is MOVED aside, not
+deleted, and restored only if the run aborts before the warm passes
+rebuild it — the driver's end-of-round bench wants a warm cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tossctr_tpu.utils.compile_cache import CACHE_DIR  # noqa: E402
+
+INIT_RE = re.compile(r"^# init: ([0-9.]+)s", re.M)
+COMPILE_RE = re.compile(r"^# compile\+step1: ([0-9.]+)s", re.M)
+STEP_RE = re.compile(r"-> ([0-9.]+) ms/step", re.M)
+
+
+def run_bench(steps: int) -> dict:
+    cmd = [sys.executable, "bench.py", "--steps", str(steps), "--rotate", "2"]
+    t0 = time.time()
+    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    wall = time.time() - t0
+    out = p.stdout + p.stderr
+    if p.returncode != 0:
+        print(out[-4000:])
+        raise RuntimeError(f"bench.py failed rc={p.returncode}")
+    init = INIT_RE.search(out)
+    comp = COMPILE_RE.search(out)
+    step = STEP_RE.search(out)
+    return {
+        "init_s": float(init.group(1)) if init else None,
+        "compile_step1_s": float(comp.group(1)) if comp else None,
+        "ms_per_step": float(step.group(1)) if step else None,
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default=os.path.join(REPO, "COMPILE_COLD_WARM.json"))
+    args = ap.parse_args()
+
+    aside = CACHE_DIR + ".aside"
+    had_cache = os.path.isdir(CACHE_DIR)
+    if had_cache:
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        os.rename(CACHE_DIR, aside)
+        print(f"# moved warm cache aside: {CACHE_DIR} -> {aside}")
+    try:
+        print("# cold run (empty persistent cache)...")
+        cold = run_bench(args.steps)
+        print(f"# cold: {cold}")
+        print("# warm run 1...")
+        warm1 = run_bench(args.steps)
+        print(f"# warm1: {warm1}")
+        print("# warm run 2 (steady state)...")
+        warm2 = run_bench(args.steps)
+        print(f"# warm2: {warm2}")
+    except BaseException:
+        # restore the original warm cache so an aborted probe does not
+        # leave the driver's end-of-round bench cold
+        if had_cache and os.path.isdir(aside):
+            if os.path.isdir(CACHE_DIR):
+                shutil.rmtree(CACHE_DIR)
+            os.rename(aside, CACHE_DIR)
+            print("# aborted: restored the original warm cache")
+        raise
+    if had_cache and os.path.isdir(aside):
+        shutil.rmtree(aside)
+
+    record = {
+        "date": datetime.datetime.now(datetime.UTC).strftime("%Y-%m-%dT%H:%MZ"),
+        "backend_note": "one real v5e chip via the axon tunnel backend",
+        "bench_steps": args.steps,
+        "cold_init_s": cold["init_s"],
+        "cold_compile_step1_s": cold["compile_step1_s"],
+        "warm1_init_s": warm1["init_s"],
+        "warm1_compile_step1_s": warm1["compile_step1_s"],
+        "warm2_init_s": warm2["init_s"],
+        "warm2_compile_step1_s": warm2["compile_step1_s"],
+        "bars": {"cold_compile_step1_max_s": 180, "warm_compile_step1_max_s": 50},
+        "runs": {"cold": cold, "warm1": warm1, "warm2": warm2},
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps(record))
+    print(f"# wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -442,6 +442,24 @@ class Config:
             raise ValueError("mesh.exchange must be psum|a2a")
         if self.mesh.grad_exchange not in (None, "allgather", "a2a"):
             raise ValueError("mesh.grad_exchange must be allgather|a2a")
+        if self.mesh.grad_exchange == "a2a":
+            import warnings
+
+            # VERDICT r4 #5: the bucketed return's static bucket cap
+            # assumes unique ids hash ~uniformly over owner shards.
+            # A clustered / frequency-sorted (non-hashed) vocab can
+            # overflow buckets, and overflowed gradients are DROPPED
+            # (counted per epoch as `a2a_grad_dropped` in the train
+            # logs).  The ETL's hashed categorical ids satisfy the
+            # assumption; raw sequential ids may not.
+            warnings.warn(
+                "mesh.grad_exchange=a2a drops bucket-overflow gradients; "
+                "safe for hashed/uniform id streams — watch the "
+                "a2a_grad_dropped counter in the train logs and raise "
+                "mesh.extra.a2a_grad_cap_factor (default 2.0) or use "
+                "allgather if it is ever nonzero.",
+                stacklevel=2,
+            )
         if self.mesh.cat_sharding not in ("replicate", "row"):
             raise ValueError("mesh.cat_sharding must be replicate|row")
         if self.model.attn_impl not in ("packed", "wide", "loop"):

@@ -221,6 +221,7 @@ def sharded_rowwise_adagrad_update_a2a(
     halves: int = 1,
     cap_factor: float = 2.0,
     debug_overflow: bool = False,
+    drop_counter: str | None = None,
 ):
     """Bucketed gradient return (VERDICT r3 #6): row grads travel only
     to their owning shards instead of all-gathering O(global B*K*D)
@@ -296,6 +297,18 @@ def sharded_rowwise_adagrad_update_a2a(
         ).astype(jnp.int32)
         pos = idx - run_start[owner]
         keep = valid & (pos < cap)
+        if drop_counter is not None:
+            # production observability (VERDICT r4 #5): every shard
+            # reports its LOCAL dropped-unique-id count to the host
+            # rider registry (utils/log.riders); the train loop reads
+            # the per-epoch total and logs/warns.  A cheap async
+            # scalar callback — no step-signature change, no psum.
+            from ..utils.log import _riders_add
+
+            jax.debug.callback(
+                _riders_add, drop_counter, jnp.sum(valid & ~keep),
+                ordered=False,
+            )
         if debug_overflow:
             # per-device dropped-unique-id count per step (opt-in:
             # mesh.extra.a2a_grad_debug) — nonzero means the

@@ -152,6 +152,17 @@ def use_device_metrics(cfg: Config) -> bool:
     return bool(v)
 
 
+def jitted_init(model: "CTRModel", key, init_batch):
+    """``model.init`` under ``jax.jit``: one fused init program instead
+    of op-by-op eager dispatch, which pays one small backend compile per
+    primitive shape (~228 s cold at flagship shapes on the tunnel
+    backend vs ~15 s fused; docs/ROUND4.md item 4).  Shared by bench.py
+    and __graft_entry__ so the init arguments cannot drift."""
+    return jax.jit(
+        lambda k, b: model.init(k, b, deterministic=True)
+    )(key, init_batch)
+
+
 def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
     spec = build_model_spec(cfg, dims)
     use_pallas = cfg.model.use_pallas_attention
@@ -539,6 +550,7 @@ def make_train_step(model: CTRModel, tx, cfg: Config, base_key, ema_mask=None,
                         debug_overflow=bool(
                             cfg.mesh.extra.get("a2a_grad_debug", False)
                         ),
+                        drop_counter="a2a_grad_dropped",
                     )
                 else:
                     from ..parallel.embedding import (
@@ -801,6 +813,21 @@ def train_one_fold(
         global_step = int(state.step)
         examples = (step_in_epoch - skip) * t.batch_size
         logger.throughput(f"fold{fold}", epoch, examples, dt)
+        if cfg.mesh.grad_exchange == "a2a":
+            from ..utils.log import riders
+
+            a2a_dropped = riders.read_and_reset("a2a_grad_dropped")
+            logger.scalars(f"fold{fold}", epoch, a2a_grad_dropped=a2a_dropped)
+            if a2a_dropped:
+                logger.row(
+                    fold=fold, epoch=epoch,
+                    warn=(
+                        f"a2a grad return dropped {a2a_dropped} unique-id "
+                        "gradients this epoch (bucket overflow) — raise "
+                        "mesh.extra.a2a_grad_cap_factor or use "
+                        "mesh.grad_exchange=allgather"
+                    ),
+                )
 
         eval_p = (
             ema_params(state.ema, state.params, ema_mask) if use_ema_eval else state.params

@@ -20,6 +20,18 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/tossctr_jax")
 _enabled = False
 
 
+def default_cache_dir() -> str:
+    """The directory enable_compile_cache() would use (no side effects)."""
+    env = os.environ.get("TOSSCTR_COMPILE_CACHE")
+    if env and env.lower() not in ("0", "off", "false", "no"):
+        return env
+    return _DEFAULT_DIR
+
+
+# evaluated at import for scripts that manage the cache on disk
+CACHE_DIR = default_cache_dir()
+
+
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache.  Returns the
     cache dir, or None when disabled via TOSSCTR_COMPILE_CACHE=0.

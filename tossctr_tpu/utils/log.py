@@ -20,6 +20,31 @@ from contextlib import contextmanager
 _CSV_COLS = ["fold", "epoch", "split", "loss", "AP", "WLL", "Score", "lr", "bs", "K", "tau"]
 
 
+class RiderCounters:
+    """Host-side accumulators fed from inside jitted programs via
+    ``jax.debug.callback`` — production observability for quantities
+    that would otherwise need a step-signature change (VERDICT r4 #5:
+    the a2a grad-return overflow drops).  Each shard reports its LOCAL
+    count; the host sum over shards and steps is the global total.
+    Read-and-reset once per epoch from the train loop."""
+
+    def __init__(self):
+        self._counts: dict[str, int] = {}
+
+    def add(self, name: str, value) -> None:
+        self._counts[name] = self._counts.get(name, 0) + int(value)
+
+    def read_and_reset(self, name: str) -> int:
+        return self._counts.pop(name, 0)
+
+
+riders = RiderCounters()
+
+
+def _riders_add(name: str, value) -> None:  # jax.debug.callback target
+    riders.add(name, value)
+
+
 class Logger:
     def __init__(self, log_dir: str, tb: bool = True, csv_log: bool = True):
         self.log_dir = log_dir
