@@ -27,7 +27,11 @@ interleaving opportunities, in case monolithic ops serialize trivially.
 Timing per the repo convention (docs/DESIGN.md): chained iterations —
 every iteration's inputs depend on the previous outputs — synced by a
 VALUE fetch, because block_until_ready can return early on the tunnel
-backend.  Run from the repo root (axon plugin registration).
+backend.  All big operands ride as jit ARGUMENTS (a closure capture
+bakes the 1.28 GB table into the module as a constant and stalls the
+tunnel compile — the gather_cost_fn_probe lesson) and are generated
+ON DEVICE (host->device through the tunnel is slow).  Run from the
+repo root (axon plugin registration).
 """
 
 import time
@@ -39,6 +43,7 @@ D = 64
 B = 8192
 L = 400
 MM_N = 1024          # matmul width
+N_MM = 14            # weight pool size; chain length calibrated at run
 ITERS = 8
 
 
@@ -47,63 +52,56 @@ def main():
     import jax.numpy as jnp
 
     print(f"devices: {jax.devices()}", flush=True)
-    rng = np.random.default_rng(0)
 
-    # the 1.28 GB table is generated ON DEVICE — host->device transfer
-    # through the tunnel backend is far slower than an on-device RNG
-    table = jax.jit(
-        lambda k: jax.random.normal(k, (V, D), dtype=jnp.bfloat16),
-    )(jax.random.PRNGKey(0))
+    @jax.jit
+    def make_data(key):
+        ks = jax.random.split(key, 4)
+        table = jax.random.normal(ks[0], (V, D), dtype=jnp.bfloat16)
+        ids = jax.random.randint(ks[1], (B, L), 0, V, dtype=jnp.int32)
+        query = jax.random.normal(ks[2], (B, D), dtype=jnp.bfloat16)
+        x = jax.random.normal(ks[3], (B, MM_N), dtype=jnp.bfloat16)
+        ws = jax.random.normal(
+            jax.random.fold_in(key, 7), (N_MM, MM_N, MM_N), dtype=jnp.bfloat16
+        ) * 0.02
+        return table, ids, query, x, ws
+
+    table, ids0, query, x0, ws = make_data(jax.random.PRNGKey(0))
     jax.block_until_ready(table)
-    print("table ready", flush=True)
-    ids0 = jnp.asarray(rng.integers(0, V, size=(B, L)), dtype=jnp.int32)
-    query = jnp.asarray(
-        rng.standard_normal((B, D), dtype=np.float32), dtype=jnp.bfloat16
-    )
-    x0 = jnp.asarray(
-        rng.standard_normal((B, MM_N), dtype=np.float32), dtype=jnp.bfloat16
-    )
-    n_mm = 14  # calibrated below; overridden after the first measurements
-    ws = [
-        jnp.asarray(rng.standard_normal((MM_N, MM_N), dtype=np.float32) * 0.02,
-                    dtype=jnp.bfloat16)
-        for _ in range(n_mm)
-    ]
+    print("data ready (on device)", flush=True)
 
     def gather_score(ids, tbl, q):
         """The scoring pass: fused row-gather + dot (topk_select.py)."""
         att = jnp.take(tbl, ids.reshape(-1), axis=0).reshape(B, L, D)
-        s = jnp.einsum("bld,bd->bl", att, q)
-        return s
+        return jnp.einsum("bld,bd->bl", att, q)
 
     def next_ids(s, ids):
-        # data-dependent, nearly-free chaining: rotate ids by a value
-        # derived from the scores so each iteration re-runs the gather
+        # data-dependent, nearly-free chaining: each iteration re-runs
+        # the gather at shifted ids
         bump = jnp.min(s).astype(jnp.int32) & 0  # 0, but data-dependent
         return (ids + 1 + bump) % (V - 7)
 
-    def mm_chain(x, k):
-        for w in ws[:k]:
-            x = jnp.maximum(x @ w, 0.01 * x)
+    def mm_chain(x, w, k):
+        for i in range(k):
+            x = jnp.maximum(x @ w[i], 0.01 * x)
         return x
 
     @jax.jit
-    def f_gather(ids):
-        s = gather_score(ids, table, query)
+    def f_gather(ids, tbl, q):
+        s = gather_score(ids, tbl, q)
         return next_ids(s, ids), jnp.sum(s, dtype=jnp.float32)
 
     def make_mxu(k):
         @jax.jit
-        def f_mxu(x):
-            y = mm_chain(x, k)
+        def f_mxu(x, w):
+            y = mm_chain(x, w, k)
             return y, jnp.sum(y, dtype=jnp.float32)
         return f_mxu
 
     def make_both(k):
         @jax.jit
-        def f_both(ids, x):
-            s = gather_score(ids, table, query)
-            y = mm_chain(x, k)
+        def f_both(ids, x, tbl, q, w):
+            s = gather_score(ids, tbl, q)
+            y = mm_chain(x, w, k)
             return next_ids(s, ids), y, \
                 jnp.sum(s, dtype=jnp.float32) + jnp.sum(y, dtype=jnp.float32)
         return f_both
@@ -114,66 +112,76 @@ def main():
         Lc = L // n_chunks
 
         @jax.jit
-        def f_il(ids, x):
+        def f_il(ids, x, tbl, q, w):
             tot = jnp.zeros((), jnp.float32)
             per_slot = max(1, k // n_chunks)
             wi = 0
             for c in range(n_chunks):
                 idc = jax.lax.dynamic_slice_in_dim(ids, c * Lc, Lc, axis=1)
-                att = jnp.take(table, idc.reshape(-1), axis=0)
+                att = jnp.take(tbl, idc.reshape(-1), axis=0)
                 att = att.reshape(B, Lc, D)
-                s = jnp.einsum("bld,bd->bl", att, query)
+                s = jnp.einsum("bld,bd->bl", att, q)
                 tot = tot + jnp.sum(s, dtype=jnp.float32)
                 for _ in range(per_slot):
                     if wi < k:
-                        x = jnp.maximum(x @ ws[wi], 0.01 * x)
+                        x = jnp.maximum(x @ w[wi], 0.01 * x)
                         wi += 1
             while wi < k:
-                x = jnp.maximum(x @ ws[wi], 0.01 * x)
+                x = jnp.maximum(x @ w[wi], 0.01 * x)
                 wi += 1
             bump = (tot.astype(jnp.int32) & 0)
             return (ids + 1 + bump) % (V - 7), x, tot
         return f_il
 
-    def bench_1(name, f, a):
-        a1, v = f(a)
+    def bench_g(name, f):
+        a1, v = f(ids0, table, query)
         float(v)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            a1, v = f(a1)
+            a1, v = f(a1, table, query)
         float(v)
         dt = (time.perf_counter() - t0) / ITERS * 1e3
         print(f"{name:28s}: {dt:8.2f} ms", flush=True)
         return dt
 
-    def bench_2(name, f, a, b):
-        a1, b1, v = f(a, b)
+    def bench_m(name, f):
+        b1, v = f(x0, ws)
         float(v)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            a1, b1, v = f(a1, b1)
+            b1, v = f(b1, ws)
         float(v)
         dt = (time.perf_counter() - t0) / ITERS * 1e3
         print(f"{name:28s}: {dt:8.2f} ms", flush=True)
         return dt
 
-    t_g = bench_1("gather_only", f_gather, ids0)
+    def bench_2(name, f):
+        a1, b1, v = f(ids0, x0, table, query, ws)
+        float(v)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            a1, b1, v = f(a1, b1, table, query, ws)
+        float(v)
+        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"{name:28s}: {dt:8.2f} ms", flush=True)
+        return dt
+
+    t_g = bench_g("gather_only", f_gather)
 
     # calibrate the matmul chain length to ~ the gather time
-    t_mm1 = bench_1("mxu_only[k=2]", make_mxu(2), x0)
+    t_mm1 = bench_m("mxu_only[k=2]", make_mxu(2))
     per_mm = max(0.05, t_mm1 / 2)
-    k = max(2, min(n_mm, int(round(t_g / per_mm))))
-    t_m = bench_1(f"mxu_only[k={k}]", make_mxu(k), x0)
+    k = max(2, min(N_MM, int(round(t_g / per_mm))))
+    t_m = bench_m(f"mxu_only[k={k}]", make_mxu(k))
 
-    t_b = bench_2(f"both[k={k}]", make_both(k), ids0, x0)
-    t_i = bench_2(f"interleaved[k={k}]", make_interleaved(k), ids0, x0)
+    t_b = bench_2(f"both[k={k}]", make_both(k))
+    t_i = bench_2(f"interleaved[k={k}]", make_interleaved(k))
 
     lo, hi = max(t_g, t_m), t_g + t_m
-    overlap = (hi - t_b) / max(1e-9, hi - lo)
     print(f"\nmax={lo:.2f}  sum={hi:.2f}  both={t_b:.2f}  "
           f"interleaved={t_i:.2f}")
     print(f"overlap fraction (1=perfect co-schedule, 0=serial): "
-          f"monolithic {overlap:.2f}, "
+          f"monolithic {(hi - t_b) / max(1e-9, hi - lo):.2f}, "
           f"interleaved {(hi - t_i) / max(1e-9, hi - lo):.2f}")
 
 
