@@ -104,14 +104,21 @@ def test_covis_peak_rss_is_o_stream_batch(tmp_path):
 
     rec_half = _run_child(tmp_path, train_half, "1m")
     rec_full = _run_child(tmp_path, train_full, "2m")
-    # doubling the rows must not grow peak RSS much beyond the O(n_rows)
-    # fold vector (8 B/row) + pandas groupby/allocator churn (measured
-    # ~120 MB per extra 1M rows of high-water creep); a cached exploded
-    # stream would add ~500 MB per 1M rows and fail the band.  Before
-    # the r4 fixes (streamed pass-1 hashing + row-bounded partial
-    # compaction) the growth was ~300 MB/1M and failed this assertion.
-    assert rec_full["rss_mb"] < rec_half["rss_mb"] * 1.2 + 120, (
+    # Band tightened in r5 (VERDICT r4 #9) after pinning the creep down
+    # with exp/covis_rss_anatomy.py phase attribution:
+    #   * resident creep (~100 MB/1M) was glibc arenas holding the
+    #     pass-2/3 pandas merge churn — ELIMINATED by _malloc_trim()
+    #     after each compaction / pass-3 batch,
+    #   * the remaining peak delta (~140 MB at these shapes, constant)
+    #     is the pass-2 concat+groupby compaction temp while the
+    #     unique-key base SATURATES (1M keys here; the 1M-row run's
+    #     last compactions see a smaller base than the 2M-row run's).
+    #     It is bounded by the key space, not O(rows) — a 4M-row run
+    #     peaks where the 2M-row run does.
+    # A cached exploded stream would add ~500 MB per extra 1M rows and
+    # fail both terms.  Measured (2026-08-20): 1M=912 MB, 2M=1055 MB.
+    assert rec_full["rss_mb"] < rec_half["rss_mb"] * 1.1 + 100, (
         f"peak RSS scales with rows: 1M={rec_half['rss_mb']:.0f} MB "
         f"2M={rec_full['rss_mb']:.0f} MB"
     )
-    assert rec_full["rss_mb"] < 2000, f"covis peak RSS {rec_full['rss_mb']:.0f} MB"
+    assert rec_full["rss_mb"] < 1500, f"covis peak RSS {rec_full['rss_mb']:.0f} MB"

@@ -122,8 +122,12 @@ class _PairStatsAccumulator:
     # batches barely deduplicate per batch (~0.7 unique pairs per
     # exploded token), so a batch-count threshold lets partials pile up
     # O(n_batches x batch_pairs) (~45 MB each, measured); a row bound
-    # caps the resident set regardless of batch density
-    COMPACT_ROWS = 1_000_000
+    # caps the resident set regardless of batch density.  600k (was 1M)
+    # trims the concat+groupby temp at each compaction — the peak-RSS
+    # driver once the unique-key base saturates
+    # (exp/covis_rss_anatomy.py) — for ~1 extra compaction per 2
+    # batches at dense shapes.
+    COMPACT_ROWS = 600_000
 
     def __init__(self, with_time: bool):
         self.with_time = with_time
@@ -165,6 +169,7 @@ class _PairStatsAccumulator:
             # base bigger than the threshold can't force a compaction
             # per batch (resident set = base + up to COMPACT_ROWS pending)
             self._pending_rows = 0
+            _malloc_trim()
 
     def finalize(self) -> pd.DataFrame:
         keys = ["fold", "token", "tgt"] + (["tb"] if self.with_time else [])
@@ -261,6 +266,42 @@ def _row_features(
     return out
 
 
+def _malloc_trim() -> None:
+    """Return freed glibc arena pages to the OS.  The per-batch pandas
+    merge/groupby churn in passes 2-3 leaves ~100 MB/1M-rows of freed-
+    but-resident pages behind (exp/covis_rss_anatomy.py); trimming after
+    each batch caps resident (and therefore peak) RSS at
+    O(stream_batch + unique pairs) for real.  ~50 us/call; no-op where
+    glibc is unavailable."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
+def _phase_rss(phase: str) -> None:
+    """Opt-in phase-boundary RSS logging (TOSSCTR_COVIS_RSS_LOG=1):
+    one JSON line per phase to stderr with current and high-water RSS —
+    the attribution evidence behind tests/test_covis_rss.py's band
+    (exp/covis_rss_anatomy.py consumes these)."""
+    if not os.environ.get("TOSSCTR_COVIS_RSS_LOG"):
+        return
+    import json
+    import resource
+    import sys
+
+    with open("/proc/self/statm") as f:
+        rss_now = int(f.read().split()[1]) * (os.sysconf("SC_PAGE_SIZE") // 1024)
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(
+        json.dumps({"covis_rss_phase": phase, "rss_now_mb": rss_now / 1024.0,
+                    "rss_peak_mb": peak / 1024.0}),
+        file=sys.stderr, flush=True,
+    )
+
+
 def build_covis_features(
     train_parquet: str,
     test_parquet: Optional[str],
@@ -269,6 +310,7 @@ def build_covis_features(
     """Full covis pipeline -> {'oof': rowfeat_oof_all.parquet,
     'test': rowfeat_test.parquet}."""
     os.makedirs(cfg.out_dir, exist_ok=True)
+    _phase_rss("start")
     dataset = ds.dataset(train_parquet, format="parquet")
     cols = [cfg.seq_col, cfg.target_col, cfg.group_key] + cfg.targets
     if cfg.time_bin:
@@ -297,6 +339,7 @@ def build_covis_features(
     groups = np.concatenate(ghashes) if ghashes else np.zeros(0, np.int64)
     del ghashes
     folds = make_folds(groups, cfg.n_folds)
+    _phase_rss("pass1_folds")
 
     def scan_exploded():
         """Stream (rid0, n, row_of, token, w, tbv, {target: values}, y)
@@ -337,6 +380,7 @@ def build_covis_features(
         pos_sum += float(y.sum())
         n_sum += n
 
+    _phase_rss("pass2_accumulate")
     p0 = pos_sum / max(1, n_sum)  # global prior for beta smoothing
     per_fold = {t: acc[t].finalize() for t in cfg.targets}
     full_tbl = {t: _pair_table_from_folds(per_fold[t], None, cfg, p0) for t in cfg.targets}
@@ -344,6 +388,7 @@ def build_covis_features(
         t: {f: _pair_table_from_folds(per_fold[t], f, cfg, p0) for f in range(cfg.n_folds)}
         for t in cfg.targets
     }
+    _phase_rss("pair_tables")
 
     # pass 3: OOF row features for train (each row joined against the
     # table that excludes its own fold).  Re-scans the parquet instead of
@@ -379,8 +424,10 @@ def build_covis_features(
         if writer is None:
             writer = pq.ParquetWriter(oof_path, tbl.schema)
         writer.write_table(tbl)
+        _malloc_trim()
     if writer is not None:
         writer.close()
+    _phase_rss("pass3_oof")
 
     out = {"oof": oof_path}
     if test_parquet:
