@@ -46,6 +46,8 @@ def build_cfg(args):
             "sequence": {
                 "max_len": args.seq_len,
                 "top_k": args.top_k,
+                "select_proxy": bool(args.select_proxy),
+                "select_proxy_candidates": args.select_proxy_candidates,
                 "recency_tau": 512,
                 "query_mode": "concat",
                 "query_key": "inventory_id",
@@ -157,6 +159,11 @@ def main():
                     help="sequence-id distribution: uniform | zipf[:a] "
                          "(the headline run also times a zipf:1.0 batch "
                          "and attaches it to the JSON line)")
+    ap.add_argument("--select-proxy", action="store_true",
+                    help="hierarchical prefilter selection "
+                         "(sequence.select_proxy; changes selection "
+                         "semantics, see config/schema.py)")
+    ap.add_argument("--select-proxy-candidates", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--rotate", type=int, default=8,
                     help="number of distinct pre-staged batches cycled "

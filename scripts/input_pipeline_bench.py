@@ -1,0 +1,208 @@
+"""Prove the host input pipeline sustains the device headline
+(VERDICT r4 next#3).
+
+bench.py times pre-staged device batches; the reference's epoch times
+include its 8-worker DataLoader (/root/reference/src/train.py:106-110).
+This script closes that gap with a real on-disk cache and the
+PRODUCTION trainer path:
+
+  phase 0  build a 2M-row synthetic parquet at flagship schema
+           (82 numerics, 35 hashed cat cols, seq up to 400 tokens from
+           a 10M vocab) in 100k-row chunks, then this repo's ETL ->
+           2 x 1M-row shard cache.  Cached on disk across runs.
+  phase 1  loader-only rows/sec: one full pass of BatchIterator at
+           B=8192, with the native C++ threaded gather and with
+           TOSSCTR_NATIVE_GATHER=0 (numpy fancy-index fallback).
+  phase 2  ONE production epoch via train.trainer.train_one_fold
+           (loader + DevicePrefetcher + jitted step at the bench's
+           flagship model config, n_splits=1 -> fold 0 = 1.6M rows),
+           reading the trainer's own per-epoch throughput counter.
+
+Writes INPUT_PIPELINE.json:
+  {loader_native_rows_s, loader_numpy_rows_s, trainer_eps,
+   bench_eps_ref, trainer_vs_bench_pct, ...}
+
+Target (VERDICT): trainer_eps >= 90% of the pre-staged bench eps.
+Run on the TPU from the repo root:  python scripts/input_pipeline_bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS = 2_000_000
+CHUNK = 100_000
+BATCH = 8192
+SEQ_VOCAB = 10_000_000
+MAX_LEN = 400
+
+CAT_COLS = ["gender", "age_group", "inventory_id", "day_of_week", "hour"] + [
+    f"l_feat_{i}" for i in range(1, 28)
+] + ["feat_a_2", "feat_a_8", "feat_a_9"]
+
+
+def build_parquet(path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tossctr_tpu.data.synth import make_synth_frame
+
+    writer = None
+    t0 = time.time()
+    for start in range(0, ROWS, CHUNK):
+        n = min(CHUNK, ROWS - start)
+        cols = make_synth_frame(
+            n, seed=1000 + start // CHUNK, n_inventory=2000, n_l_feats=27,
+            n_num_feats=60, n_history=22, seq_vocab=SEQ_VOCAB,
+            seq_len_max=MAX_LEN + 16, id_prefix=f"IP{start // CHUNK:03d}",
+        )
+        tbl = pa.table({k: pa.array(v) for k, v in cols.items()})
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl, row_group_size=CHUNK)
+        if (start // CHUNK) % 5 == 0:
+            print(f"# parquet {start + n}/{ROWS} rows "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    writer.close()
+
+
+def build_cache(parquet: str, cache_dir: str) -> str:
+    from tossctr_tpu.data.etl import build_sharded_cache
+
+    buckets = {c: 1009 for c in CAT_COLS}
+    buckets["inventory_id"] = 2003
+    buckets["l_feat_14"] = 4013
+    t0 = time.time()
+    manifest = build_sharded_cache(
+        parquet, cache_dir, is_train=True, target_col="clicked",
+        seq_col="seq", cat_cols=CAT_COLS, hash_buckets=buckets,
+        hash_buckets_margin=0, num_patterns=["feat_*", "history_*"],
+        max_len=MAX_LEN, pad_id=0, shard_rows=1_000_000,
+        group_key="inventory_id",
+    )
+    print(f"# ETL -> {manifest} in {time.time() - t0:.0f}s", flush=True)
+    return manifest
+
+
+def loader_pass(manifest: str, native: bool) -> float:
+    from tossctr_tpu.data.dataset import ShardCache
+    from tossctr_tpu.data.loader import BatchIterator
+
+    os.environ["TOSSCTR_NATIVE_GATHER"] = "1" if native else "0"
+    cache = ShardCache(manifest)
+    it = BatchIterator(cache, batch_size=BATCH, train=True, shuffle=True,
+                       seed=3, drop_last=True)
+    # one warm batch (mmap touch + native thread spin-up)
+    next(iter(it))
+    t0 = time.time()
+    rows = 0
+    for b in it:
+        rows += b["seq"].shape[0]
+    dt = time.time() - t0
+    print(f"# loader native={native}: {rows} rows in {dt:.1f}s "
+          f"-> {rows / dt:,.0f} rows/s", flush=True)
+    return rows / dt
+
+
+def bench_cfg():
+    """The EXACT flagship config bench.py benches (build_cfg defaults),
+    plus the data section pointing at the on-disk cache."""
+    import bench as bench_mod
+
+    args = argparse.Namespace(
+        batch=BATCH, vocab=SEQ_VOCAB, seq_len=MAX_LEN, top_k=60,
+        num_feats=82, amp="bf16", emb_opt="rowwise_adagrad",
+        ema_tables=False, rng="rbg", exact_dedup=False,
+        table_dtype="bfloat16", attn_impl="packed",
+    )
+    return bench_mod.build_cfg(args)
+
+
+def trainer_epoch(manifest: str, workdir: str) -> dict:
+    import jax
+
+    from tossctr_tpu.data.dataset import load_labels_groups_for_split
+    from tossctr_tpu.train.trainer import train_one_fold
+    from tossctr_tpu.utils.log import Logger
+
+    from tossctr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    os.environ["TOSSCTR_NATIVE_GATHER"] = "1"
+    cfg = bench_cfg()
+    cfg.train.epochs = 1
+    cfg.calibration.enabled = False
+    cfg.exp_name = "input_pipeline_bench"
+    cfg.logging.log_dir = workdir
+
+    y, groups = load_labels_groups_for_split(manifest)
+    from sklearn.model_selection import StratifiedGroupKFold
+
+    sgkf = StratifiedGroupKFold(n_splits=5, shuffle=True, random_state=cfg.seed)
+    idx_tr, idx_va = next(sgkf.split(np.zeros_like(y), y, groups))
+    logger = Logger(os.path.join(workdir, "logs"), tb=False, csv_log=True)
+    t0 = time.time()
+    best = train_one_fold(cfg, 0, idx_tr, idx_va, manifest, logger)
+    wall = time.time() - t0
+    tp = logger.last_throughput.get("fold0", {})
+    print(f"# trainer epoch: {tp} (fold wall {wall:.1f}s, "
+          f"best score {best.get('score')})", flush=True)
+    return {"train_examples": tp.get("examples"),
+            "train_seconds": tp.get("seconds"),
+            "trainer_eps": tp.get("eps"), "fold_wall_s": round(wall, 1),
+            "n_train": int(len(idx_tr)), "n_val": int(len(idx_va))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/ipbench")
+    ap.add_argument("--bench-eps", type=float, default=45_409.0,
+                    help="pre-staged device bench eps/chip (BENCH_r04)")
+    ap.add_argument("--out", default=os.path.join(REPO, "INPUT_PIPELINE.json"))
+    ap.add_argument("--skip-trainer", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    parquet = os.path.join(args.workdir, "train.parquet")
+    cache_dir = os.path.join(args.workdir, "cache", "train")
+    manifest = os.path.join(cache_dir, "manifest.json")
+    if not os.path.exists(parquet):
+        build_parquet(parquet)
+    if not os.path.exists(manifest):
+        build_cache(parquet, cache_dir)
+
+    native_rows_s = loader_pass(manifest, native=True)
+    numpy_rows_s = loader_pass(manifest, native=False)
+
+    record = {
+        "date": datetime.datetime.now(datetime.UTC).strftime("%Y-%m-%dT%H:%MZ"),
+        "rows": ROWS, "batch": BATCH, "max_len": MAX_LEN,
+        "seq_vocab": SEQ_VOCAB, "n_num": 82, "n_cat": len(CAT_COLS),
+        "loader_native_rows_s": round(native_rows_s),
+        "loader_numpy_rows_s": round(numpy_rows_s),
+        "bench_eps_ref": args.bench_eps,
+    }
+    if not args.skip_trainer:
+        record.update(trainer_epoch(manifest, args.workdir))
+        if record.get("trainer_eps"):
+            record["trainer_vs_bench_pct"] = round(
+                100 * record["trainer_eps"] / args.bench_eps, 1)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps(record))
+    print(f"# wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

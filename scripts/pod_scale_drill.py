@@ -65,7 +65,15 @@ def main():
     ap.add_argument("--mesh-model", type=int, default=None)
     ap.add_argument("--rss-budget-gb", type=float, default=None,
                     help="assert peak host RSS stays below this")
+    ap.add_argument("--device", action="store_true",
+                    help="run on the REAL chip (mesh 1x1) and record "
+                         "jax.local_devices()[0].memory_stats() per phase "
+                         "(VERDICT r4 #7: ground the donation-aliasing "
+                         "claim with device, not host, peak bytes). "
+                         "Pair with --vocab 10000000 on a single v5e.")
     args = ap.parse_args()
+    if args.device:
+        args.mesh_model = args.mesh_data = 1
     if args.mesh_model is None:
         args.mesh_model = 8 if args.vocab >= 50_000_000 else 2
     if args.mesh_data is None:
@@ -73,8 +81,24 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+    if not args.device:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    else:
+        from tossctr_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
+    def dev_mem() -> dict:
+        try:
+            st = jax.local_devices()[0].memory_stats() or {}
+            return {
+                "bytes_in_use_gb": round(st.get("bytes_in_use", 0) / 1e9, 3),
+                "peak_bytes_in_use_gb": round(
+                    st.get("peak_bytes_in_use", 0) / 1e9, 3),
+            }
+        except Exception as e:  # noqa: BLE001 — backend may not expose stats
+            return {"unavailable": str(e)[:120]}
 
     from tossctr_tpu.config import Config
     from tossctr_tpu.data.etl import build_train_and_test
@@ -132,10 +156,14 @@ def main():
     log["phases"]["etl_s"] = round(time.time() - t0, 1)
     log["rss_gb_after_etl"] = round(rss_gb(), 2)
 
+    if args.device:
+        log["device_mem_after_etl"] = dev_mem()
     t0 = time.time()
     exp_dir = train_main(cfg)
     log["phases"]["train_s"] = round(time.time() - t0, 1)
     log["rss_gb_after_train"] = round(rss_gb(), 2)
+    if args.device:
+        log["device_mem_after_train"] = dev_mem()
     # free train-side device buffers (virtual CPU devices ARE host RAM)
     # before inference restores its own copy of the table
     import gc
@@ -170,6 +198,8 @@ def main():
     sub = infer_main(cfg)
     log["phases"]["infer_s"] = round(time.time() - t0, 1)
     log["rss_gb_peak"] = round(rss_gb(), 2)
+    if args.device:
+        log["device_mem_after_infer"] = dev_mem()
     with open(sub) as f:
         n_lines = sum(1 for _ in f)
     log["submission_rows"] = n_lines - 1
@@ -182,8 +212,10 @@ def main():
             log["rss_gb_peak"] <= args.rss_budget_gb
         )
     print(json.dumps(log, indent=2))
-    out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "docs", "POD_DRILL.json")
+    out_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "docs",
+        "POD_DRILL_DEVICE.json" if args.device else "POD_DRILL.json",
+    )
     with open(out_json, "w") as f:
         json.dump(log, f, indent=2)
     if not args.keep:

@@ -91,6 +91,19 @@ class SequenceConfig:
     # materializes in HBM (ops/topk_select._streaming_topk_ids);
     # null = one dense pass
     select_chunk: Optional[int] = None
+    # Hierarchical (proxy-prefilter) selection (VERDICT r4 #8 /
+    # exp/hier_select_probe.py): score all L positions against a small
+    # block-mean PROXY of the att table (operand fits VMEM -> ~3x
+    # cheaper per index), keep the top `select_proxy_candidates`
+    # positions, and run the exact gather+score only on those.
+    # Measured -13.4 ms/step at flagship shapes on v5e.  CHANGES MODEL
+    # SEMANTICS (the exact top-k is taken within the prefiltered
+    # candidate set — identical whenever the true top-k survives the
+    # proxy stage); opt-in, quality delta measured by
+    # tools/parity_vs_reference.py --select-proxy legs.
+    select_proxy: bool = False
+    select_proxy_block: int = 64        # table rows per proxy cluster
+    select_proxy_candidates: int = 128  # positions kept by the prefilter
     # Pad the selected top-k to the next 8-sublane multiple (pads use
     # pad_id -> -1e9 score -> zero weight; u_seq math unchanged).  Kills
     # the relayout copies around the fused kernels when top_k isn't a
@@ -438,6 +451,21 @@ class Config:
             raise ValueError("train.batch_size and train.epochs must be positive")
         if s.top_k <= 0 or s.max_len <= 0:
             raise ValueError("sequence.top_k and sequence.max_len must be positive")
+        if s.select_proxy:
+            if s.select_chunk:
+                raise ValueError(
+                    "sequence.select_proxy and select_chunk are mutually "
+                    "exclusive (speed vs HBM-pressure options)"
+                )
+            if s.select_proxy_candidates < s.top_k:
+                raise ValueError(
+                    "sequence.select_proxy_candidates must be >= top_k"
+                )
+            if self.model.seq_vocab % max(1, s.select_proxy_block):
+                raise ValueError(
+                    "model.seq_vocab must divide by sequence."
+                    "select_proxy_block for the block-mean proxy"
+                )
         if self.mesh.exchange not in ("psum", "a2a"):
             raise ValueError("mesh.exchange must be psum|a2a")
         if self.mesh.grad_exchange not in (None, "allgather", "a2a"):

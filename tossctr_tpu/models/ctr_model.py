@@ -78,6 +78,8 @@ class ModelSpec:
     embedding_dropout: float
     qnn_enabled: bool
     select_chunk: Optional[int] = None
+    select_proxy_block: int = 64
+    select_proxy_candidates: int = 0  # 0 = off
     fused_seq_tables: bool = True
     pad_topk: bool = True
     attn_impl: str = "packed"
@@ -141,6 +143,10 @@ def build_model_spec(cfg, dims: Dict[str, int]) -> ModelSpec:
         recency_tau=float(s.recency_tau),
         pad_id=int(s.pad_id),
         select_chunk=(int(s.select_chunk) if s.select_chunk else None),
+        select_proxy_block=int(s.select_proxy_block),
+        select_proxy_candidates=(
+            int(s.select_proxy_candidates) if s.select_proxy else 0
+        ),
         fused_seq_tables=bool(cfg.model.fused_seq_tables),
         pad_topk=bool(s.pad_topk_to_tile),
         attn_impl=str(cfg.model.attn_impl),
@@ -314,6 +320,8 @@ class CTRModel(nn.Module):
             recency_tau=sp.recency_tau,
             pad_id=sp.pad_id,
             select_chunk=sp.select_chunk,
+            select_proxy_block=sp.select_proxy_block,
+            select_proxy_candidates=sp.select_proxy_candidates,
             pad_topk=sp.pad_topk,
             attn_impl=sp.attn_impl,
             dropout_impl=sp.dropout_impl,

@@ -37,6 +37,10 @@ class DARE(nn.Module):
     recency_tau: float = 256.0
     pad_id: int = 0
     select_chunk: Optional[int] = None  # L-chunked streaming selection
+    # hierarchical prefilter (ops/topk_select._proxy_topk_ids):
+    # 0 candidates = off
+    select_proxy_block: int = 64
+    select_proxy_candidates: int = 0
     # round K up to the 8-sublane tile after selection (pads carry
     # pad_id; see the comment at the pad site) — keeps every (B,K,D)
     # tensor tile-aligned so kernel-boundary reshapes are bitcasts
@@ -122,6 +126,11 @@ class DARE(nn.Module):
             top_k=self.top_k, tau=self.recency_tau, pad_id=self.pad_id,
             lookup_fn=att_lookup,
             select_chunk=self.select_chunk,
+            select_proxy=(
+                {"block": self.select_proxy_block,
+                 "candidates": self.select_proxy_candidates}
+                if self.select_proxy_candidates else None
+            ),
         )
         K_logical = sel_ids.shape[1]
         if self.pad_topk:

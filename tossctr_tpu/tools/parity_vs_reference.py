@@ -233,7 +233,14 @@ def ours_cfg(args, seed: int, emb_opt: str, out_dir: str):
                 "hash_buckets": HASH_BUCKETS,
                 "hash_buckets_margin": 0,
             },
-            "sequence": dict(seq, tfm=tfm),
+            "sequence": dict(
+                seq, tfm=tfm,
+                # quality-delta legs for the hierarchical prefilter
+                # (VERDICT r4 #8): framework label carries the mode
+                select_proxy=bool(args.select_proxy),
+                select_proxy_block=int(args.select_proxy_block),
+                select_proxy_candidates=int(args.select_proxy_candidates),
+            ),
             "model": {
                 "emb_dim": hp["emb_dim"],
                 "seq_vocab": 10_000_000,  # matches the reference's hard-code
@@ -351,7 +358,8 @@ def run_ours(args, seed: int, emb_opt: str, manifest: str, idx_tr, idx_va) -> Di
     best = train_one_fold(cfg, 0, idx_tr, idx_va, manifest, logger)
     hist = logger.val_history()
     return {
-        "framework": f"ours_jax_{emb_opt}",
+        "framework": f"ours_jax_{emb_opt}"
+        + ("_proxy" if args.select_proxy else ""),
         "seed": seed,
         "best_score": float(best["score"]),
         "best": max(hist, key=lambda r: r["Score"]),
@@ -507,9 +515,16 @@ def main():
                     help="enable EMA shadow weights on BOTH sides")
     ap.add_argument("--calibration", action="store_true",
                     help="enable per-epoch temperature calibration on BOTH sides")
+    ap.add_argument("--select-proxy", action="store_true",
+                    help="ours-side hierarchical prefilter selection "
+                         "(quality-delta legs, VERDICT r4 #8)")
+    ap.add_argument("--select-proxy-block", type=int, default=64)
+    ap.add_argument("--select-proxy-candidates", type=int, default=None)
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--report", default=None, help="PARITY.md output path")
     args = ap.parse_args()
+    if args.select_proxy_candidates is None:
+        args.select_proxy_candidates = 2 * args.top_k
 
     # the environment force-registers a 1-chip TPU backend; parity runs on CPU
     import jax

@@ -57,6 +57,7 @@ class Logger:
                 self.tb = SummaryWriter(log_dir)
             except Exception:
                 self.tb = None
+        self.last_throughput: dict = {}
         self.csv_path = os.path.join(log_dir, "train_log.csv") if csv_log else None
         if self.csv_path and not os.path.exists(self.csv_path):
             with open(self.csv_path, "w", newline="") as f:
@@ -90,6 +91,11 @@ class Logger:
     # ---- TPU additions ----
     def throughput(self, tag: str, step: int, examples: int, seconds: float) -> None:
         eps = examples / max(seconds, 1e-9)
+        # kept readable post-run (scripts/input_pipeline_bench.py reads
+        # the trainer's own per-epoch counter instead of re-measuring)
+        self.last_throughput[tag] = {
+            "step": step, "examples": examples, "seconds": seconds, "eps": eps,
+        }
         self.scalars(tag, step, examples_per_sec=eps)
 
     @contextmanager
