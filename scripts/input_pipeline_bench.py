@@ -124,6 +124,7 @@ def bench_cfg():
         num_feats=82, amp="bf16", emb_opt="rowwise_adagrad",
         ema_tables=False, rng="rbg", exact_dedup=False,
         table_dtype="bfloat16", attn_impl="packed",
+        select_proxy=False, select_proxy_candidates=128,
     )
     return bench_mod.build_cfg(args)
 
@@ -140,7 +141,9 @@ def trainer_epoch(manifest: str, workdir: str) -> dict:
     enable_compile_cache()
     os.environ["TOSSCTR_NATIVE_GATHER"] = "1"
     cfg = bench_cfg()
-    cfg.train.epochs = 1
+    # two epochs: epoch 1 carries the one-time step compile, epoch 2's
+    # throughput counter is the steady-state streaming rate
+    cfg.train.epochs = 2
     cfg.calibration.enabled = False
     cfg.exp_name = "input_pipeline_bench"
     cfg.logging.log_dir = workdir
@@ -155,11 +158,12 @@ def trainer_epoch(manifest: str, workdir: str) -> dict:
     best = train_one_fold(cfg, 0, idx_tr, idx_va, manifest, logger)
     wall = time.time() - t0
     tp = logger.last_throughput.get("fold0", {})
-    print(f"# trainer epoch: {tp} (fold wall {wall:.1f}s, "
+    print(f"# trainer steady-state epoch: {tp} (fold wall {wall:.1f}s, "
           f"best score {best.get('score')})", flush=True)
     return {"train_examples": tp.get("examples"),
             "train_seconds": tp.get("seconds"),
-            "trainer_eps": tp.get("eps"), "fold_wall_s": round(wall, 1),
+            "trainer_eps_steady": tp.get("eps"),
+            "fold_wall_s": round(wall, 1),
             "n_train": int(len(idx_tr)), "n_val": int(len(idx_va))}
 
 
@@ -194,9 +198,21 @@ def main():
     }
     if not args.skip_trainer:
         record.update(trainer_epoch(manifest, args.workdir))
-        if record.get("trainer_eps"):
+        if record.get("trainer_eps_steady"):
             record["trainer_vs_bench_pct"] = round(
-                100 * record["trainer_eps"] / args.bench_eps, 1)
+                100 * record["trainer_eps_steady"] / args.bench_eps, 1)
+        # attribution: on THIS harness host->device crosses a ~35-41
+        # MB/s tunnel (exp/device_put_bw_probe.py) — a 19.7 MB batch
+        # costs ~480 ms, capping ANY streaming path at ~17k eps
+        # regardless of software.  On a real TPU host the same batch is
+        # ~1 ms of PCIe; the loader (above) over-delivers the device
+        # rate by 5-8x, which is the claim under test.
+        record["env_note"] = (
+            "host->device on this harness is a ~35-41 MB/s tunnel "
+            "(exp/device_put_bw_probe.py: 19.7 MB batch = 480 ms => "
+            "input-bound ceiling ~17k eps); loader rows/s is the "
+            "software-pipeline capability measurement"
+        )
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")
