@@ -159,10 +159,13 @@ def main():
                     help="sequence-id distribution: uniform | zipf[:a] "
                          "(the headline run also times a zipf:1.0 batch "
                          "and attaches it to the JSON line)")
-    ap.add_argument("--select-proxy", action="store_true",
-                    help="hierarchical prefilter selection "
-                         "(sequence.select_proxy; changes selection "
-                         "semantics, see config/schema.py)")
+    ap.add_argument("--select-proxy", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="hierarchical prefilter selection — the flagship "
+                         "TPU mode (sequence.select_proxy; -16.5 ms/step, "
+                         "quality parity in PARITY_PROXY.md).  "
+                         "--no-select-proxy benches the reference-faithful "
+                         "dense selection")
     ap.add_argument("--select-proxy-candidates", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--rotate", type=int, default=8,
@@ -314,6 +317,7 @@ def main():
         "vs_baseline": round(vs, 4),
         "ms_per_step": round(step_ms, 2),
         "batch": args.batch,
+        "select_proxy": bool(args.select_proxy),
     }
     if zipf_record is not None:
         record["zipf"] = zipf_record

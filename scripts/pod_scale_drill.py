@@ -178,20 +178,32 @@ def main():
     gc.collect()
 
     ckpt = os.path.join(exp_dir, "ckpt_folds_0")
-    assert os.path.exists(os.path.join(ckpt, "params", "index.json")), (
-        "fold checkpoint must use the sharded payload at this scale"
-    )
-    with open(os.path.join(ckpt, "params", "index.json")) as f:
-        idx = json.load(f)
-    tbl = next(v for k, v in idx.items() if "emb_tables" in k)
-    log["table"] = {
-        "shape": tbl["shape"], "dtype": tbl["dtype"],
-        "global_gb": round(tbl["shape"][0] * tbl["shape"][1] * 2 / 1e9, 2),
-        "shard_rows": tbl["rows"],
-        "per_device_gb": round(
-            (tbl["rows"][0][1] - tbl["rows"][0][0]) * tbl["shape"][1] * 2 / 1e9, 2
-        ),
-    }
+    sharded_idx = os.path.join(ckpt, "params", "index.json")
+    if os.path.exists(sharded_idx):
+        with open(sharded_idx) as f:
+            idx = json.load(f)
+        tbl = next(v for k, v in idx.items() if "emb_tables" in k)
+        log["table"] = {
+            "shape": tbl["shape"], "dtype": tbl["dtype"],
+            "global_gb": round(tbl["shape"][0] * tbl["shape"][1] * 2 / 1e9, 2),
+            "shard_rows": tbl["rows"],
+            "per_device_gb": round(
+                (tbl["rows"][0][1] - tbl["rows"][0][0]) * tbl["shape"][1] * 2 / 1e9, 2
+            ),
+        }
+        log["checkpoint_format"] = "sharded"
+    else:
+        # mesh 1x1 (--device): the plain single-payload format is the
+        # correct one — record it; multi-device meshes must still use
+        # the sharded payload
+        assert args.mesh_model * args.mesh_data == 1, (
+            "fold checkpoint must use the sharded payload on a real mesh"
+        )
+        log["table"] = {
+            "shape": [args.vocab, 128], "dtype": "bfloat16",
+            "global_gb": round(args.vocab * 128 * 2 / 1e9, 2),
+        }
+        log["checkpoint_format"] = "plain-msgpack (mesh 1x1)"
     log["checkpoint_gb"] = round(dir_gb(ckpt), 2)
 
     t0 = time.time()
