@@ -271,3 +271,61 @@ def test_batch_size_mesh_divisibility_error(tmp_path):
     mesh = build_mesh(data=4, model=2)
     with pytest.raises(ValueError, match="not divisible"):
         train_one_fold(cfg, 0, np.arange(10), np.arange(10), "none", None, mesh=mesh)
+
+
+def test_a2a_grad_drop_counter_reaches_train_logs(tmp_path):
+    """VERDICT r4 #5 'Done' bar: bucket-overflow gradient drops must be
+    visible through the PRODUCTION train loop — a forced-overflow
+    cap_factor must surface as a console warn row and drain the host
+    rider counter (not only fire inside the update fn)."""
+    import yaml
+
+    from tossctr_tpu.config import Config
+    from tossctr_tpu.data.etl import build_train_and_test
+    from tossctr_tpu.data.synth import write_synth_train_test
+    from tossctr_tpu.train.trainer import train_one_fold
+    from tossctr_tpu.utils.log import Logger, riders
+
+    root = str(tmp_path)
+    write_synth_train_test(root, n_train=2000, n_test=200, seed=11)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "cfgs", "synth_small.yaml")
+    ) as f:
+        d = yaml.safe_load(f)
+    d["exp_name"] = "a2a_drop_counter"
+    d["data"]["train_path"] = os.path.join(root, "train.parquet")
+    d["data"]["test_path"] = os.path.join(root, "test.parquet")
+    d["data"]["cache_dir"] = os.path.join(root, "cache")
+    d["logging"] = {"log_dir": os.path.join(root, "runs"), "tb": False}
+    d["train"]["batch_size"] = 256
+    d["train"]["epochs"] = 1
+    d["train"]["embedding_optimizer"] = "rowwise_adagrad"
+    d["sequence"]["max_len"] = 32
+    d["sequence"]["top_k"] = 8
+    d["model"]["emb_dim"] = 16
+    d["model"]["qnn_alpha"]["mlp_hidden"] = [32, 16]
+    d["calibration"] = {"enabled": False}
+    d["mesh"] = {"data": 4, "model": 2, "exchange": "a2a",
+                 "grad_exchange": "a2a",
+                 # far below the safe 2.0 -> guaranteed bucket overflow
+                 "extra": {"a2a_grad_cap_factor": 0.05}}
+    with pytest.warns(UserWarning, match="a2a_grad_dropped"):
+        cfg = Config.from_dict(d)
+
+    manifest, _ = build_train_and_test(cfg)
+    rows = []
+
+    class CapturingLogger(Logger):
+        def row(self, **kw):
+            rows.append(kw)
+            super().row(**kw)
+
+    logger = CapturingLogger(os.path.join(root, "runs", "cap"), tb=False)
+    n = 2000
+    idx = np.arange(n)
+    train_one_fold(cfg, 0, idx[: int(n * 0.8)], idx[int(n * 0.8):],
+                   manifest, logger, mesh=None)
+    warns = [r for r in rows if "a2a grad return dropped" in str(r.get("warn", ""))]
+    assert warns, rows
+    # the loop drained the counter
+    assert riders.read_and_reset("a2a_grad_dropped") == 0

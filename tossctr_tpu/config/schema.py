@@ -27,6 +27,13 @@ def _build(cls, d: Optional[Dict[str, Any]]):
     names = {f.name for f in dataclasses.fields(cls)}
     known = {k: v for k, v in d.items() if k in names and k != "extra"}
     extra = {k: v for k, v in d.items() if k not in names}
+    # an EXPLICIT `extra:` mapping in the YAML merges with (and is
+    # overridden by) unknown top-level keys — previously it was
+    # silently dropped, so `mesh: {extra: {a2a_grad_cap_factor: ...}}`
+    # never reached the trainer
+    explicit = d.get("extra")
+    if isinstance(explicit, dict):
+        extra = {**explicit, **extra}
     obj = cls(**known)
     if hasattr(obj, "extra"):
         obj.extra = extra

@@ -816,6 +816,7 @@ def train_one_fold(
         if cfg.mesh.grad_exchange == "a2a":
             from ..utils.log import riders
 
+            jax.effects_barrier()  # flush the async drop-count callbacks
             a2a_dropped = riders.read_and_reset("a2a_grad_dropped")
             logger.scalars(f"fold{fold}", epoch, a2a_grad_dropped=a2a_dropped)
             if a2a_dropped:
