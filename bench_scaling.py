@@ -68,6 +68,15 @@ def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
     tb = 2 if str(cfg.model.table_dtype).startswith("bf") else 4
     cot = 2 if cfg.amp in ("bf16", "fp16") else 4  # cotangent dtype
     fused = bool(cfg.model.fused_seq_tables)
+    # hierarchical prefilter (sequence.select_proxy): the FULL-L scoring
+    # leg gathers from the small REPLICATED proxy — no exchange — and
+    # only the C2 candidate rows ride the sharded lookup.  A large ICI
+    # win on top of the single-chip one: the exchanged row count drops
+    # from L+K to C2+K per example (e.g. 400+60 -> 128+60 at flagship).
+    proxy_c2 = 0
+    if getattr(cfg.sequence, "select_proxy", False):
+        proxy_c2 = min(int(cfg.sequence.select_proxy_candidates), L)
+    score_rows = proxy_c2 if 0 < proxy_c2 < L else L
     score_w = (2 * D if fused else D) * tb   # bytes/row, scoring leg
     rec_ids = K if fused else 2 * K          # recompute lookup count
     rec_bytes = K * 2 * D * tb               # same total either layout
@@ -76,12 +85,12 @@ def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
         return {"exchange": exchange, "ici_bytes_per_device": 0}
     if exchange == "psum":
         b = B // d
-        blocks = b * (L * score_w + rec_bytes)
+        blocks = b * (score_rows * score_w + rec_bytes)
         bytes_dev = int(2 * (m - 1) / m * blocks)
     else:
         b = B // (d * m)
-        ids = b * (L + rec_ids) * 4
-        rows = b * (L * score_w + rec_bytes)
+        ids = b * (score_rows + rec_ids) * 4
+        rows = b * (score_rows * score_w + rec_bytes)
         bytes_dev = int(m * (ids + rows))
     # ---- sparse-update gradient return (mesh.grad_exchange) ----
     # row width W = 2D lane-fused (split layout: D x 2 tables, same)
@@ -102,9 +111,16 @@ def exchange_bytes(cfg, data_axis: int, model_axis: int, exchange: str) -> dict:
     item = 4 + W * 4
     cap = a2a_grad_cap(B * K // (d * m), m)
     grad_a2a = int(m * cap * item + d * m * cap * item)
+    out_extra = {}
+    if 0 < proxy_c2 < L:
+        # per-step model-axis all-gather that replicates the block-mean
+        # proxy (result bytes; trainer.build_model pins it replicated)
+        C = cfg.model.seq_vocab // max(1, cfg.sequence.select_proxy_block)
+        out_extra["proxy_build_allgather_bytes"] = int(C * D * tb)
     return {
         "exchange": exchange,
         "ici_bytes_per_device": bytes_dev,
+        **out_extra,
         "grad_return_bytes_per_device": {
             "allgather": grad_allgather,
             "a2a": grad_a2a,

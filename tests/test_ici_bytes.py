@@ -121,7 +121,8 @@ def classify_axis(groups, mesh) -> str:
 
 
 @lru_cache(maxsize=None)
-def compiled_step(model_axis: int, exchange: str, grad_exchange: str):
+def compiled_step(model_axis: int, exchange: str, grad_exchange: str,
+                  select_proxy: bool = False):
     """Compile the production sharded train step; return (cfg, mesh,
     collective list).  Mirrors __graft_entry__._dryrun_multichip."""
     devices = jax.devices()[:8]
@@ -133,6 +134,11 @@ def compiled_step(model_axis: int, exchange: str, grad_exchange: str):
     cfg.mesh.exchange = exchange
     cfg.mesh.grad_exchange = grad_exchange
     cfg.model.fused_seq_tables = True
+    if select_proxy:
+        cfg.sequence.select_proxy = True
+        cfg.sequence.select_proxy_block = 8
+        cfg.sequence.select_proxy_candidates = max(
+            cfg.sequence.top_k, cfg.sequence.max_len // 2)
     dims = {"X_num": n_num, "X_mask": n_num,
             "X_cat": len(cfg.data.cat_cols), "seq_len": cfg.sequence.max_len}
     model = build_model(cfg, dims, mesh=mesh)
@@ -254,3 +260,24 @@ def test_crossover_claim_compiler_counted():
     for m in (2, 4):
         assert ratios[m] == pytest.approx(expected[m], rel=TOL), (
             ratios, expected)
+
+
+@pytest.mark.parametrize("exchange", ["a2a", "psum"])
+def test_select_proxy_lookup_bytes(exchange):
+    """With the hierarchical prefilter, the full-L scoring leg gathers
+    from the REPLICATED proxy (no exchange); only candidate + recompute
+    rows ride the sharded lookup — the analytic table models the
+    reduction and the compiler must agree."""
+    m = 2
+    cfg, d, cols = compiled_step(m, exchange, "allgather", select_proxy=True)
+    op = "all-to-all" if exchange == "a2a" else "all-reduce"
+    measured = sum(
+        wire_bytes(c, m, d)
+        for c in cols if c["op"] == op and c["axis"] == "model"
+    )
+    expect = exchange_bytes(cfg, d, m, exchange)["ici_bytes_per_device"]
+    assert measured == pytest.approx(expect, rel=TOL), (measured, expect)
+    # and the reduction vs dense is real: proxy moves fewer bytes
+    cfg_d, _, _ = compiled_step(m, exchange, "allgather")
+    dense = exchange_bytes(cfg_d, d, m, exchange)["ici_bytes_per_device"]
+    assert expect < dense, (expect, dense)

@@ -247,6 +247,8 @@ class CTRModel(nn.Module):
     lookup_fn: Optional[Any] = None
     # explicit sharded-lookup hook for row-sharded grouped cat tables
     cat_lookup_fn: Optional[Any] = None
+    # pins the select-proxy table replicated under explicit sharding
+    replicate_fn: Optional[Any] = None
     # initializer override for the two DARE tables (ops/table_init.py:
     # shard_map chunked draw when row-sharded — bounded init temps)
     table_init_fn: Optional[Any] = None
@@ -343,6 +345,7 @@ class CTRModel(nn.Module):
             table_dtype=table_dtype,
             dtype=self.dtype,
             lookup_fn=self.lookup_fn,
+            replicate_fn=self.replicate_fn,
             table_init_fn=self.table_init_fn,
             name="dare",
         )(seq, query, deterministic=deterministic)

@@ -77,6 +77,8 @@ class DARE(nn.Module):
     # reads, e.g. the explicit row-sharded exchange over the 'model'
     # mesh axis (parallel/embedding.sharded_embedding_lookup)
     lookup_fn: Optional[Any] = None
+    # pins the select-proxy table replicated under explicit sharding
+    replicate_fn: Optional[Any] = None
     # initializer override for the big tables: build_model passes the
     # shard_map form when the tables are row-sharded so per-device init
     # temps stay O(one chunk) (ops/table_init.py — same values as the
@@ -128,7 +130,8 @@ class DARE(nn.Module):
             select_chunk=self.select_chunk,
             select_proxy=(
                 {"block": self.select_proxy_block,
-                 "candidates": self.select_proxy_candidates}
+                 "candidates": self.select_proxy_candidates,
+                 "replicate_fn": self.replicate_fn}
                 if self.select_proxy_candidates else None
             ),
         )

@@ -147,6 +147,7 @@ def _proxy_topk_ids(
     block: int,
     candidates: int,
     take,
+    replicate_fn=None,
 ):
     """Hierarchical prefilter (VERDICT r4 #8; exp/hier_select_probe.py).
 
@@ -179,6 +180,11 @@ def _proxy_topk_ids(
     # table dtype.  Recomputed per forward — the table moves every step.
     proxy = table.reshape(C, block, Wt)[:, :, :D]
     proxy = proxy.astype(jnp.float32).mean(axis=1).astype(table.dtype)
+    if replicate_fn is not None:
+        # under explicit sharding, pin the small proxy REPLICATED —
+        # GSPMD's psum-mode default keeps it row-sharded and
+        # all-reduces a full (b, L, D) proxy-score block instead
+        proxy = replicate_fn(proxy)
     cl = jnp.minimum(seq_ids // block, C - 1)
     ps = jnp.take(proxy, cl.reshape(-1), axis=0).reshape(B, L, D).astype(cdt)
     s1 = jnp.einsum("bld,bd->bl", ps, query) + log_decay[None, :]
@@ -238,7 +244,7 @@ def dare_select_ids(
         idx, sel_ids = _proxy_topk_ids(
             sg_table, seq_ids, sg_query, log_decay, float(tau), pad_id, K,
             int(select_proxy["block"]), int(select_proxy["candidates"]),
-            take,
+            take, replicate_fn=select_proxy.get("replicate_fn"),
         )
     elif select_chunk and select_chunk < L:
         idx = _streaming_topk_ids(

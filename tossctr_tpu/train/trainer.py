@@ -172,6 +172,7 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
     if use_pallas_ffn is None:
         use_pallas_ffn = jax.default_backend() == "tpu"
     lookup_fn = None
+    replicate_fn = None
     if use_explicit_exchange(cfg, mesh):
         # mesh.exchange selects the sharded-lookup form (VERDICT r2 #3):
         # psum = mask-gather-psum; a2a = DLRM-style id exchange.
@@ -183,6 +184,18 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
             from ..parallel.embedding import sharded_embedding_lookup
 
             lookup_fn = partial(sharded_embedding_lookup, mesh=mesh)
+        if cfg.sequence.select_proxy:
+            # pin the prefilter's proxy REPLICATED: left to GSPMD, the
+            # psum mode keeps it row-sharded and all-reduces a full
+            # (b, L, D) proxy-score block — ici bytes the small
+            # replicated proxy makes unnecessary
+            # (tests/test_ici_bytes.py::test_select_proxy_lookup_bytes)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec(None, None))
+            replicate_fn = lambda x: jax.lax.with_sharding_constraint(  # noqa: E731
+                x, rep
+            )
     table_init_fn = None
     if (
         mesh is not None
@@ -230,6 +243,7 @@ def build_model(cfg: Config, dims: Dict[str, int], mesh=None) -> CTRModel:
         use_pallas_fm=bool(cfg.model.extra.get("use_pallas_fm", False)),
         lookup_fn=lookup_fn,
         cat_lookup_fn=cat_lookup_fn,
+        replicate_fn=replicate_fn,
         table_init_fn=table_init_fn,
     )
 
